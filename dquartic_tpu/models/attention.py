@@ -1,0 +1,219 @@
+"""Attention modules: RoPE, linear attention, full/cross attention,
+hybrid attention and the 1-D transformer stack.
+
+Flax re-designs of /root/reference/dquartic/model/unet1d.py:446-826.
+Layout is feature-last (batch, length, channels); head splitting follows
+the reference's ``(h c)`` channel-major ordering so converted checkpoints
+are bit-compatible.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops import dot_product_attention
+from .layers import FeedForward1d, RMSNorm, conv1d
+
+Dtype = jnp.dtype
+
+
+def rope_rotate(x: jnp.ndarray, rot_dim: int, theta: float = 10000.0) -> jnp.ndarray:
+    """Rotary position embedding, matching ``rotary_embedding_torch``.
+
+    The reference wraps ``RotaryEmbedding(dim=dim_head // 2)``
+    (unet1d.py:529, 560-561): only the first ``rot_dim = dim_head // 2``
+    features of each head are rotated (adjacent-pair interleaved, with
+    ``rot_dim/2`` frequencies ``theta**(-2i/rot_dim)``); the rest pass
+    through unchanged.
+
+    ``x`` has shape (..., seq, dim_head).
+    """
+    seq = x.shape[-2]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, rot_dim, 2, dtype=jnp.float32) / rot_dim))
+    pos = jnp.arange(seq, dtype=jnp.float32)
+    freqs = pos[:, None] * inv_freq[None, :]  # (seq, rot_dim/2)
+    freqs = jnp.repeat(freqs, 2, axis=-1)  # (seq, rot_dim) — interleaved dup
+    cos = jnp.cos(freqs).astype(x.dtype)
+    sin = jnp.sin(freqs).astype(x.dtype)
+
+    x_rot, x_pass = x[..., :rot_dim], x[..., rot_dim:]
+    x1 = x_rot[..., 0::2]
+    x2 = x_rot[..., 1::2]
+    rotated = jnp.stack([-x2, x1], axis=-1).reshape(x_rot.shape)
+    out = x_rot * cos + rotated * sin
+    return jnp.concatenate([out, x_pass], axis=-1)
+
+
+def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """(b, n, h*c) -> (b, h, n, c), channel-major heads (torch '(h c)')."""
+    b, n, hc = x.shape
+    return x.reshape(b, n, heads, hc // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(b, h, n, c) -> (b, n, h*c)."""
+    b, h, n, c = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * c)
+
+
+class LinearAttention(nn.Module):
+    """O(n) linear attention (unet1d.py:446-496).
+
+    q softmaxed over the head-feature axis, k over the sequence axis; the
+    (d x e) context matrix contracts the full sequence once — two small
+    MXU matmuls per head instead of an n^2 score matrix. Used as the cheap
+    residual mixer at every U-Net resolution, where n is the m/z axis
+    (up to 40k): never materializes an (n, n) tensor.
+    """
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        hidden = self.heads * self.dim_head
+        qkv = conv1d(hidden * 3, 1, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (_split_heads(t, self.heads) for t in (q, k, v))  # (b, h, n, c)
+
+        # Reference softmax axes in (b, h, c, n) layout: q over c, k over n.
+        q = nn.softmax(q.astype(jnp.float32), axis=-1)  # over c (feature)
+        k = nn.softmax(k.astype(jnp.float32), axis=-2)  # over n (sequence)
+        q = q * (self.dim_head**-0.5)
+
+        context = jnp.einsum(
+            "bhnd,bhne->bhde", k, v.astype(jnp.float32), preferred_element_type=jnp.float32
+        )
+        out = jnp.einsum("bhde,bhnd->bhne", context, q, preferred_element_type=jnp.float32)
+        out = _merge_heads(out.astype(self.dtype))
+
+        out = conv1d(self.dim, 1, dtype=self.dtype, name="to_out_conv")(out)
+        return RMSNorm(self.dim, dtype=self.dtype, name="to_out_norm")(out)
+
+
+class Attention(nn.Module):
+    """Full softmax attention with RoPE; self- or cross-mode
+    (unet1d.py:498-567).
+
+    Cross mode (``use_xattn``): queries and values come from ``x``, keys
+    from ``cond`` — the reference's unusual q/v-from-x convention
+    (unet1d.py:533-535, 552-555) is preserved.
+    """
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    use_xattn: bool = False
+    cond_dim: int = 1
+    attn_impl: str = "auto"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        hidden = self.heads * self.dim_head
+        if self.use_xattn and cond is not None:
+            qv = conv1d(hidden * 2, 1, use_bias=False, dtype=self.dtype, name="to_qv")(x)
+            q, v = jnp.split(qv, 2, axis=-1)
+            k = conv1d(hidden, 1, use_bias=False, dtype=self.dtype, name="to_k")(cond)
+        else:
+            qkv = conv1d(hidden * 3, 1, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        q, k, v = (_split_heads(t, self.heads) for t in (q, k, v))
+        q = rope_rotate(q, self.dim_head // 2)
+        k = rope_rotate(k, self.dim_head // 2)
+
+        out = dot_product_attention(q, k, v, impl=self.attn_impl)
+        out = _merge_heads(out)
+        return conv1d(self.dim, 1, dtype=self.dtype, name="to_out")(out)
+
+
+class HybridSelfAndCrossAttention(nn.Module):
+    """Self-attention, 1x1 mid projection, then cross-attention against the
+    condition (unet1d.py:570-643)."""
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    cond_dim: int = 1
+    attn_impl: str = "auto"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        hidden = self.heads * self.dim_head
+
+        qkv = conv1d(hidden * 3, 1, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (_split_heads(t, self.heads) for t in (q, k, v))
+        q = rope_rotate(q, self.dim_head // 2)
+        k = rope_rotate(k, self.dim_head // 2)
+        x = _merge_heads(dot_product_attention(q, k, v, impl=self.attn_impl))
+
+        mid = conv1d(self.dim, 1, dtype=self.dtype, name="to_mid")(x)
+
+        qv = conv1d(hidden * 2, 1, use_bias=False, dtype=self.dtype, name="to_qv")(mid)
+        q, v = jnp.split(qv, 2, axis=-1)
+        k = conv1d(hidden, 1, use_bias=False, dtype=self.dtype, name="to_k")(cond)
+        q, v, k = _split_heads(q, self.heads), _split_heads(v, self.heads), _split_heads(k, self.heads)
+        q = rope_rotate(q, self.dim_head // 2)
+        k = rope_rotate(k, self.dim_head // 2)
+
+        out = _merge_heads(dot_product_attention(q, k, v, impl=self.attn_impl))
+        return conv1d(self.dim, 1, dtype=self.dtype, name="to_out")(out)
+
+
+class Transformer1d(nn.Module):
+    """Depth-N transformer: first half self-attention, second half hybrid
+    self+cross layers (unet1d.py:758-826).
+
+    The reference's forward crashes on this stack (it 4-way unpacks
+    2-element layer lists, unet1d.py:822 — only the ``simple=True`` U-Net
+    path avoids it). This implementation realizes the evident intent:
+    ``x = attn(x, cond) + x; x = ff(x) + x``.
+    """
+
+    dim: int
+    depth: int = 4
+    heads: int = 4
+    dim_head: int = 32
+    mlp_mult: int = 2
+    use_xattn: bool = False
+    cond_dim: int = 1
+    attn_impl: str = "auto"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        for i in range(self.depth):
+            if i < self.depth // 2 or not self.use_xattn:
+                attn = Attention(
+                    self.dim,
+                    heads=self.heads,
+                    dim_head=self.dim_head,
+                    attn_impl=self.attn_impl,
+                    dtype=self.dtype,
+                    name=f"layers_{i}_attn",
+                )
+                x = attn(x) + x
+            else:
+                attn = HybridSelfAndCrossAttention(
+                    self.dim,
+                    heads=self.heads,
+                    dim_head=self.dim_head,
+                    cond_dim=self.cond_dim,
+                    attn_impl=self.attn_impl,
+                    dtype=self.dtype,
+                    name=f"layers_{i}_attn",
+                )
+                x = attn(x, cond) + x
+            ff = FeedForward1d(
+                self.dim, ch_mult=self.mlp_mult, dtype=self.dtype, name=f"layers_{i}_ff"
+            )
+            x = ff(x) + x
+        return x
