@@ -1,0 +1,16 @@
+from .mesh import make_mesh, mesh_axis_sizes
+from .sharding import (
+    batch_sharding,
+    replicated_sharding,
+    shardings_for_tree,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "mesh_axis_sizes",
+    "batch_sharding",
+    "replicated_sharding",
+    "shardings_for_tree",
+    "shard_batch",
+]

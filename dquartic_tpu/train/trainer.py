@@ -1,0 +1,298 @@
+"""The training runtime.
+
+TPU-native replacement for the reference ``ModelInterface`` trainer
+(/root/reference/dquartic/model/model_interface.py:238-1123):
+
+  * one **jitted, state-donating** train step: on-device synthetic
+    multiplexing (``ms2_cond = w0*ms2_1 + w1*ms2_2``,
+    model_interface.py:1070-1075), diffusion loss, grad-clip(10), AdamW
+    update, EMA — a single XLA program per step;
+  * learning rate follows the reference's per-epoch warmup-cosine lambda
+    (model_interface.py:64-194) and is passed into the step as a dynamic
+    scalar, so LR changes never recompile;
+  * device-side loss accumulation: host only syncs once per epoch instead
+    of per batch, keeping the TPU pipeline full (set
+    ``sync_every_batch=True`` for reference-style streaming logs);
+  * optional (dp, tp) mesh: batches shard over ``dp``, the wide bottleneck
+    kernels over ``tp`` (see :mod:`dquartic_tpu.parallel`);
+  * latest/best checkpointing with auto-resume
+    (model_interface.py:386-390, 419-430) and EMA params the reference
+    lacks (north-star requirement).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..core.diffusion import DDIMProcess
+from ..parallel.sharding import replicated_sharding, shard_batch, shardings_for_tree
+from .callbacks import CallbackHandler
+from .checkpoint import latest_path_for, restore_or_init, save_checkpoint
+from .optim import WarmupCosineSchedule, make_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+class Trainer:
+    """Owns model/process/optimizer/mesh and runs the training loop."""
+
+    def __init__(
+        self,
+        model,
+        process: DDIMProcess,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        ema_decay: Optional[float] = 0.999,
+        mixture_weights: Tuple[float, float] = (0.5, 0.5),
+        mesh=None,
+        logger=None,
+        callback_handler: Optional[CallbackHandler] = None,
+        seed: int = 0,
+        sync_every_batch: bool = False,
+    ):
+        self.model = model
+        self.process = process
+        self.tx = optimizer if optimizer is not None else make_optimizer()
+        self.ema_decay = ema_decay
+        self.mixture_weights = mixture_weights
+        self.mesh = mesh
+        self.logger = logger
+        self.callback_handler = callback_handler or CallbackHandler()
+        self.base_key = jax.random.PRNGKey(seed)
+        self.sync_every_batch = sync_every_batch
+        self._train_step = None
+        self._state_sharding = None
+
+    # ------------------------------------------------------------------ #
+    # state                                                              #
+    # ------------------------------------------------------------------ #
+
+    def init_params(self, example_batch: Dict[str, np.ndarray]):
+        ms2 = jnp.asarray(example_batch["ms2_1"])
+        ms1 = jnp.asarray(example_batch["ms1_1"])
+        t = jnp.zeros((ms2.shape[0],), jnp.int32)
+        return self.model.init(self.base_key, ms2, t, ms2, ms1)
+
+    def _fresh_state(self, params) -> TrainState:
+        # EMA starts as a *copy* of params: aliased buffers would break
+        # donation of the train state.
+        ema = (
+            jax.tree_util.tree_map(jnp.copy, params) if self.ema_decay is not None else None
+        )
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.tx.init(params),
+            ema_params=ema,
+        )
+
+    def init_state(self, example_batch: Dict[str, np.ndarray]) -> TrainState:
+        """Initialize (and, under a mesh, shard) the train state."""
+        if self.mesh is None:
+            return self._fresh_state(self.init_params(example_batch))
+
+        # Plan shardings from shapes only, then materialize directly into
+        # the sharded layout so no single host/device ever holds the full
+        # parameter set.
+        abstract = jax.eval_shape(
+            lambda: self._fresh_state(self.init_params(example_batch))
+        )
+        self._state_sharding = shardings_for_tree(abstract, self.mesh)
+        init_fn = jax.jit(
+            lambda: self._fresh_state(self.init_params(example_batch)),
+            out_shardings=self._state_sharding,
+        )
+        return init_fn()
+
+    def num_parameters(self, state: TrainState) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
+
+    # ------------------------------------------------------------------ #
+    # jitted step                                                        #
+    # ------------------------------------------------------------------ #
+
+    def _build_train_step(self):
+        w0, w1 = self.mixture_weights
+        ema_decay = self.ema_decay
+
+        def step_fn(state: TrainState, batch, lr, rng):
+            ms2_1 = batch["ms2_1"]
+            ms1_1 = batch["ms1_1"]
+            ms2_2 = batch["ms2_2"]
+            ms2_cond = w0 * ms2_1 + w1 * ms2_2  # on-device multiplexing
+
+            def loss_fn(params):
+                def denoise(x, t, ic, ac):
+                    return self.model.apply(params, x, t, ic, ac)
+
+                return self.process.train_loss(denoise, rng, ms2_1, ms2_cond, ms1_1)
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+            neg_lr = (-lr).astype(jnp.float32)
+            updates = jax.tree_util.tree_map(lambda u: neg_lr * u, updates)
+            new_params = optax.apply_updates(state.params, updates)
+
+            if ema_decay is not None:
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                    state.ema_params,
+                    new_params,
+                )
+            else:
+                new_ema = None
+
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt_state,
+                ema_params=new_ema,
+            )
+            metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+            return new_state, metrics
+
+        if self.mesh is not None:
+            rep = replicated_sharding(self.mesh)
+            return jax.jit(
+                step_fn,
+                donate_argnums=(0,),
+                in_shardings=(self._state_sharding, None, rep, rep),
+                out_shardings=(self._state_sharding, rep),
+            )
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    @property
+    def train_step(self):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        return self._train_step
+
+    # ------------------------------------------------------------------ #
+    # loop                                                               #
+    # ------------------------------------------------------------------ #
+
+    def train(
+        self,
+        dataset: Iterable,
+        epochs: int,
+        warmup_epochs: int = 5,
+        learning_rate: float = 1e-4,
+        checkpoint_path: str = "best_model.ckpt",
+        log_every_n_epochs: int = 100,
+        checkpoint_every_n_epochs: int = 1,
+        state: Optional[TrainState] = None,
+        prediction_hook: Optional[Callable[[int, float, TrainState], None]] = None,
+    ) -> TrainState:
+        """Run the training loop with reference epoch semantics.
+
+        ``dataset`` is any iterable of batches (dicts with ms2_1, ms1_1,
+        ms2_2, optionally ms1_2) exposing an optional ``reset_epoch()``.
+        """
+        if warmup_epochs > 0:
+            schedule = WarmupCosineSchedule.clamped(learning_rate, warmup_epochs, epochs)
+            lr_of_epoch = schedule.__call__
+        else:
+            lr_of_epoch = lambda e: learning_rate  # noqa: E731
+
+        if state is None:
+            example = next(iter(dataset))
+            state = self.init_state(example)
+
+        # ---- auto-resume ------------------------------------------------
+        payload = {
+            "epoch": np.int64(0),
+            "best_loss": np.float64("inf"),
+            "state": jax.tree_util.tree_map(lambda x: x, state),
+        }
+        payload, start_epoch, best_loss, resumed = restore_or_init(checkpoint_path, payload)
+        if resumed:
+            # The stored epoch is the last *completed* one; continue after it.
+            # (The reference restarts AT the stored epoch and re-runs it,
+            # model_interface.py:394 — an off-by-one we do not replicate.)
+            start_epoch += 1
+            restored_state = payload["state"]
+            if self.mesh is not None and self._state_sharding is not None:
+                restored_state = jax.device_put(restored_state, self._state_sharding)
+            state = jax.tree_util.tree_map(jnp.asarray, restored_state) if self.mesh is None else restored_state
+
+        best_epoch = start_epoch
+        step_fn = self.train_step
+
+        for epoch in range(start_epoch, epochs):
+            if hasattr(dataset, "reset_epoch"):
+                dataset.reset_epoch()
+            lr = jnp.float32(lr_of_epoch(epoch))
+            epoch_key = jax.random.fold_in(self.base_key, epoch)
+
+            t0 = time.time()
+            losses = []
+            n_batches = 0
+            for batch_idx, batch in enumerate(dataset):
+                rng = jax.random.fold_in(epoch_key, batch_idx)
+                dev_batch = shard_batch(batch, self.mesh) if self.mesh is not None else batch
+                dev_batch = jax.tree_util.tree_map(jnp.asarray, dev_batch)
+                state, metrics = step_fn(state, dev_batch, lr, rng)
+                losses.append(metrics["loss"])
+                n_batches += 1
+                if self.sync_every_batch:
+                    val = float(metrics["loss"])
+                    self.callback_handler.batch_callback(batch_idx, val)
+                    if self.logger is not None:
+                        self.logger.log({"batch/train_loss": val, "batch": batch_idx + epoch * n_batches})
+
+            # One host sync per epoch.
+            losses = [float(x) for x in jax.device_get(losses)]
+            if not self.sync_every_batch:
+                for i, val in enumerate(losses):
+                    self.callback_handler.batch_callback(i, val)
+            avg_loss = float(np.mean(losses)) if losses else float("nan")
+            dt = time.time() - t0
+
+            if self.logger is not None:
+                self.logger.log(
+                    {
+                        "epoch": epoch,
+                        "train/loss": avg_loss,
+                        "learning_rate": float(lr),
+                        "epoch_seconds": dt,
+                        "steps_per_second": n_batches / dt if dt > 0 else 0.0,
+                    }
+                )
+            print(f"[Training] Epoch={epoch + 1}, lr={float(lr)}, loss={avg_loss}")
+
+            # ---- checkpoints (latest every epoch, best on improvement) --
+            if (epoch + 1) % checkpoint_every_n_epochs == 0 or epoch == epochs - 1:
+                self._save(latest_path_for(checkpoint_path), epoch, avg_loss, state)
+            if avg_loss < best_loss:
+                best_loss = avg_loss
+                best_epoch = epoch + 1
+                self._save(checkpoint_path, epoch, best_loss, state)
+
+            if prediction_hook is not None and (epoch == 0 or epoch % log_every_n_epochs == 0):
+                prediction_hook(best_epoch, best_loss, state)
+
+            if not self.callback_handler.epoch_callback(epoch=epoch, epoch_loss=avg_loss):
+                print(f"Training stopped at epoch {epoch}")
+                break
+
+        print(f"Best model checkpoint saved at epoch {best_epoch} with loss: {best_loss:.6f}")
+        return state
+
+    def _save(self, path: str, epoch: int, loss: float, state: TrainState) -> None:
+        payload = {
+            "epoch": np.int64(epoch),
+            "best_loss": np.float64(loss),
+            "state": state,
+        }
+        save_checkpoint(path, payload)

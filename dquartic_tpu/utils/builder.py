@@ -1,0 +1,125 @@
+"""Construct framework objects from a training config dict.
+
+Shared by the CLI, the benchmark harness and the compile-check entry
+points. Mirrors the wiring in the reference CLI
+(/root/reference/dquartic/cli.py:85-139).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+
+from ..core import DDIMProcess, make_schedule
+from ..data import DIAMSDataset, PairBatches, prefetch_iterator
+from ..models import CustomTransformer, UNet1d
+from ..parallel import make_mesh
+from ..train import Trainer, make_optimizer
+from .logging import make_logger
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
+
+
+def build_model(config: Dict[str, Any]):
+    m = config["model"]
+    dtype = _DTYPES[config["tpu"]["compute_dtype"]]
+    attn_impl = config["tpu"]["attn_impl"]
+    if m["use_model"] == "UNet1d":
+        u = m["UNet1d"]
+        return UNet1d(
+            dim=u["dim"],
+            channels=u["channels"],
+            dim_mults=tuple(u["dim_mults"]),
+            conditional=u["conditional"],
+            init_cond_channels=u["init_cond_channels"],
+            attn_cond_channels=u["attn_cond_channels"],
+            tfer_dim_mult=u["tfer_dim_mult"],
+            downsample_dim=u["downsample_dim"],
+            simple=u["simple"],
+            dtype=dtype,
+            attn_impl=attn_impl,
+        )
+    if m["use_model"] == "CustomTransformer":
+        c = m["CustomTransformer"]
+        return CustomTransformer(
+            input_dim=c["input_dim"],
+            hidden_dim=c["hidden_dim"],
+            num_heads=c["num_heads"],
+            num_layers=c["num_layers"],
+            dtype=dtype,
+        )
+    raise ValueError(f"Invalid model class: {m['use_model']}")
+
+
+def build_process(config: Dict[str, Any]) -> DDIMProcess:
+    m = config["model"]
+    schedule = make_schedule(
+        num_timesteps=m["num_timesteps"],
+        schedule_type=m["beta_schedule_type"],
+        pred_type=m["pred_type"],
+    )
+    return DDIMProcess(
+        schedule=schedule,
+        auto_normalize=m["auto_normalize"],
+        ms1_loss_weight=m["ms1_loss_weight"],
+    )
+
+
+def build_mesh(config: Dict[str, Any]):
+    mesh_cfg = config["tpu"]["mesh"]
+    dp, tp = mesh_cfg.get("dp"), mesh_cfg.get("tp", 1)
+    import jax
+
+    if (dp in (None, 1) and tp in (None, 1)) and len(jax.devices()) == 1:
+        return None  # single device: plain jit, no mesh overhead
+    return make_mesh(dp=dp, tp=tp or 1)
+
+
+def build_dataset(config: Dict[str, Any], seed: int = 0):
+    d = config["data"]
+    dataset = DIAMSDataset(
+        parquet_directory=d["parquet_directory"],
+        ms2_file=d["ms2_data_path"],
+        ms1_file=d["ms1_data_path"],
+        normalize=d["normalize"],
+        seed=seed,
+    )
+    batches = PairBatches(dataset, batch_size=config["model"]["batch_size"])
+    return prefetch_iterator(batches, size=config["tpu"]["prefetch"])
+
+
+def build_trainer(
+    config: Dict[str, Any], mesh=None, logger=None, seed: int = 0
+) -> Trainer:
+    model = build_model(config)
+    process = build_process(config)
+    if mesh is None:
+        mesh = build_mesh(config)
+    if logger is None:
+        w = config.get("wandb", {})
+        logger = make_logger(
+            use_wandb=bool(w.get("use_wandb")),
+            wandb_kwargs=dict(
+                project=w.get("wandb_project"),
+                name=w.get("wandb_name"),
+                id=w.get("wandb_id"),
+                resume=w.get("wandb_resume"),
+                mode=w.get("wandb_mode", "offline"),
+                config={
+                    "architecture": w.get("wandb_architecture"),
+                    "dataset": w.get("wandb_dataset"),
+                    **config["model"],
+                },
+            ),
+            run_name=w.get("wandb_name"),
+        )
+    return Trainer(
+        model,
+        process,
+        optimizer=make_optimizer(),
+        ema_decay=config["tpu"]["ema_decay"],
+        mesh=mesh,
+        logger=logger,
+        seed=seed,
+    )

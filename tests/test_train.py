@@ -1,0 +1,194 @@
+"""End-to-end training tests: jitted step, schedule parity, checkpoint
+resume, EMA, and the compiled sampler."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dquartic_tpu.core import DDIMProcess, make_schedule
+from dquartic_tpu.data import DIAMSDataset, PairBatches
+from dquartic_tpu.infer import DDIMSampler
+from dquartic_tpu.models import UNet1d
+from dquartic_tpu.train import CallbackHandler, Trainer, WarmupCosineSchedule
+from dquartic_tpu.train.checkpoint import latest_path_for, load_checkpoint
+
+TINY_MODEL = dict(
+    dim=4,
+    channels=1,
+    dim_mults=(1, 2),
+    conditional=True,
+    init_cond_channels=1,
+    attn_cond_channels=1,
+    downsample_dim=16,
+    simple=True,
+)
+
+
+@pytest.fixture
+def tiny_setup(tmp_path):
+    rng = np.random.default_rng(0)
+    ms2 = rng.uniform(0, 10, size=(8, 4, 16)).astype(np.float32)
+    ms1 = rng.uniform(0, 5, size=(8, 4)).astype(np.float32)
+    np.save(tmp_path / "ms2.npy", ms2)
+    np.save(tmp_path / "ms1.npy", ms1)
+    ds = DIAMSDataset(
+        ms2_file=str(tmp_path / "ms2.npy"), ms1_file=str(tmp_path / "ms1.npy"), normalize="minmax"
+    )
+    batches = PairBatches(ds, batch_size=2)
+    model = UNet1d(**TINY_MODEL)
+    process = DDIMProcess(schedule=make_schedule(20, "cosine", "eps"))
+    trainer = Trainer(model, process, seed=0)
+    return trainer, batches, tmp_path
+
+
+def test_warmup_cosine_matches_reference_lambda():
+    s = WarmupCosineSchedule(base_lr=1.0, num_warmup_steps=5, num_training_steps=20)
+    # warmup: (e+1)/5
+    for e in range(5):
+        assert s.scale(e) == pytest.approx((e + 1) / 5)
+    # cosine afterwards
+    import math
+
+    for e in [5, 10, 19]:
+        progress = (e - 5) / 15
+        assert s.scale(e) == pytest.approx(max(1e-10, 0.5 * (1 + math.cos(math.pi * progress))))
+    # clamp: warmup > epochs -> epochs // 2
+    c = WarmupCosineSchedule.clamped(1.0, 50, 20)
+    assert c.num_warmup_steps == 10
+
+
+def test_train_runs_and_checkpoints(tiny_setup):
+    trainer, batches, tmp_path = tiny_setup
+    ckpt = str(tmp_path / "ckpt" / "best_model.ckpt")
+    state = trainer.train(
+        batches, epochs=2, warmup_epochs=1, learning_rate=1e-3, checkpoint_path=ckpt,
+        log_every_n_epochs=1000,
+    )
+    assert int(state.step) == 2 * len(batches)
+    assert os.path.exists(ckpt)
+    assert os.path.exists(latest_path_for(ckpt))
+    payload = load_checkpoint(latest_path_for(ckpt))
+    assert int(payload["epoch"]) == 1
+    assert np.isfinite(float(payload["best_loss"]))
+
+
+def test_train_resume(tiny_setup):
+    trainer, batches, tmp_path = tiny_setup
+    ckpt = str(tmp_path / "ckpt" / "best_model.ckpt")
+    trainer.train(batches, epochs=2, warmup_epochs=0, learning_rate=1e-3, checkpoint_path=ckpt)
+
+    # Second call resumes at epoch 2 and runs 2 more
+    trainer2 = Trainer(trainer.model, trainer.process, seed=0)
+    state = trainer2.train(
+        batches, epochs=4, warmup_epochs=0, learning_rate=1e-3, checkpoint_path=ckpt
+    )
+    payload = load_checkpoint(latest_path_for(ckpt))
+    assert int(payload["epoch"]) == 3
+    # resumed state continued stepping (2 epochs x len(batches) new steps,
+    # starting from the restored counter)
+    assert int(state.step) == 4 * len(batches)
+
+
+def test_ema_tracks_params(tiny_setup):
+    trainer, batches, tmp_path = tiny_setup
+    example = next(iter(batches))
+    state = trainer.init_state(example)
+    ema0 = jax.tree_util.tree_leaves(state.ema_params)[0].copy()
+    lr = jnp.float32(1e-2)
+    rng = jax.random.PRNGKey(1)
+    dev_batch = jax.tree_util.tree_map(jnp.asarray, example)
+    state2, metrics = trainer.train_step(state, dev_batch, lr, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    ema1 = jax.tree_util.tree_leaves(state2.ema_params)[0]
+    p1 = jax.tree_util.tree_leaves(state2.params)[0]
+    # ema moved toward new params but not equal to them
+    assert not np.allclose(np.asarray(ema1), np.asarray(ema0))
+    assert not np.allclose(np.asarray(ema1), np.asarray(p1))
+
+
+def test_callback_stops_training(tiny_setup):
+    trainer, batches, tmp_path = tiny_setup
+
+    class StopAfterOne(CallbackHandler):
+        def __init__(self):
+            self.calls = 0
+
+        def epoch_callback(self, epoch, epoch_loss):
+            self.calls += 1
+            return False
+
+    cb = StopAfterOne()
+    trainer.callback_handler = cb
+    trainer.train(
+        batches, epochs=10, warmup_epochs=0, learning_rate=1e-3,
+        checkpoint_path=str(tmp_path / "c" / "m.ckpt"),
+    )
+    assert cb.calls == 1
+
+
+def test_sampler_and_predict(tiny_setup):
+    trainer, batches, tmp_path = tiny_setup
+    example = next(iter(batches))
+    state = trainer.init_state(example)
+    sampler = DDIMSampler(trainer.model, trainer.process)
+
+    ms2 = jnp.asarray(example["ms2_1"])
+    ms1 = jnp.asarray(example["ms1_1"])
+    x_t = jax.random.normal(jax.random.PRNGKey(0), ms2.shape)
+    x0, pred_noise = sampler.sample(state.params, x_t, ms2, ms1, num_steps=4)
+    assert x0.shape == ms2.shape
+    assert np.isfinite(np.asarray(x0)).all()
+    # reference output convention: pred_noise = mixture - x0_hat
+    np.testing.assert_allclose(
+        np.asarray(pred_noise), np.asarray(ms2 - x0), rtol=1e-4, atol=1e-5
+    )
+
+    preds = sampler.predict(state.params, [example], num_steps=3)
+    assert len(preds) == 1
+    assert set(preds[0]) == {"ms2_1", "ms1_1", "mixture", "pred", "pred_noise"}
+    np.testing.assert_allclose(
+        preds[0]["mixture"], 0.5 * example["ms2_1"] + 0.5 * example["ms2_2"], rtol=1e-6
+    )
+
+
+def test_loss_decreases_on_constant_target(tmp_path):
+    """Overfit check: with a fixed tiny dataset the loss should drop."""
+
+    class FixedBatches:
+        def __init__(self, batch):
+            self.batch = batch
+
+        def __len__(self):
+            return 4
+
+        def __iter__(self):
+            for _ in range(4):
+                yield self.batch
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "ms2_1": rng.uniform(0, 1, (2, 4, 16)).astype(np.float32),
+        "ms1_1": rng.uniform(0, 1, (2, 4)).astype(np.float32),
+        "ms2_2": rng.uniform(0, 1, (2, 4, 16)).astype(np.float32),
+        "ms1_2": rng.uniform(0, 1, (2, 4)).astype(np.float32),
+    }
+    model = UNet1d(**TINY_MODEL)
+    process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
+    trainer = Trainer(model, process, seed=0)
+
+    losses = []
+
+    class Recorder(CallbackHandler):
+        def epoch_callback(self, epoch, epoch_loss):
+            losses.append(epoch_loss)
+            return True
+
+    trainer.callback_handler = Recorder()
+    trainer.train(
+        FixedBatches(batch), epochs=10, warmup_epochs=0, learning_rate=3e-3,
+        checkpoint_path=str(tmp_path / "c" / "m.ckpt"), checkpoint_every_n_epochs=100,
+    )
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
