@@ -1,0 +1,208 @@
+"""Benchmark harness. Prints ONE JSON line to stdout:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline (default mode ``transformer_train``): train-step latency of the
+CustomTransformer denoiser (hidden 1024, 8 heads, 8 layers) on one
+(34, 40000) MS2 window at batch_size 1 — directly comparable to the
+reference's only wall-clock anchor: run "driven-shadow-22" trained 98,087
+steps in 1h40m on a single SLURM GPU (BASELINE.md), i.e. ~61.2 ms/step
+including data loading. ``vs_baseline`` is the speedup factor
+(baseline_ms / measured_ms; higher is better).
+
+Secondary modes (numbers reported to stderr when run as a suite):
+  * ``unet_sample``  — canonical UNet1d, 50-step DDIM reverse pass,
+    ms per (34, 40000) MS2 window (BASELINE.json headline; the reference
+    publishes no number for it, vs_baseline=1.0 by definition).
+  * ``unet_train``   — canonical UNet1d train step in bf16.
+
+Select with BENCH_MODE env var; BENCH_STEPS overrides timing iterations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_TRAIN_MS = 6000_000.0 / 98_087.0  # 1h40m / 98,087 steps = 61.17 ms
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _make_batch(b, rt, mz, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "ms2_1": rng.uniform(0, 1, (b, rt, mz)).astype(np.float32),
+        "ms1_1": rng.uniform(0, 1, (b, rt)).astype(np.float32),
+        "ms2_2": rng.uniform(0, 1, (b, rt, mz)).astype(np.float32),
+        "ms1_2": rng.uniform(0, 1, (b, rt)).astype(np.float32),
+    }
+
+
+def _time_fn(fn, warmup=3, iters=None):
+    import jax
+
+    iters = iters or int(os.environ.get("BENCH_STEPS", "20"))
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1000.0  # ms
+
+
+def bench_transformer_train():
+    import jax
+    import jax.numpy as jnp
+
+    from dquartic_tpu.core import DDIMProcess, make_schedule
+    from dquartic_tpu.models import CustomTransformer
+    from dquartic_tpu.train import Trainer
+
+    model = CustomTransformer(
+        input_dim=40000, hidden_dim=1024, num_heads=8, num_layers=8,
+        dtype=jnp.bfloat16,
+    )
+    process = DDIMProcess(schedule=make_schedule(1000, "cosine", "eps"))
+    trainer = Trainer(model, process, seed=0)
+    batch = _make_batch(1, 34, 40000)
+    state = trainer.init_state(batch)
+    _log(f"transformer params: {trainer.num_parameters(state)/1e6:.1f}M")
+    dev_batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    lr = jnp.float32(1e-5)
+
+    holder = {"state": state}
+
+    def step():
+        rng = jax.random.PRNGKey(int(holder["state"].step))
+        holder["state"], metrics = trainer.train_step(holder["state"], dev_batch, lr, rng)
+        return metrics["loss"]
+
+    ms = _time_fn(step)
+    return {
+        "metric": "train step ms (CustomTransformer h1024/8h/8L, 34x40000 window, bs1)",
+        "value": round(ms, 3),
+        "unit": "ms/step",
+        "vs_baseline": round(REFERENCE_TRAIN_MS / ms, 2),
+    }
+
+
+def _canonical_unet(dtype):
+    from dquartic_tpu.models import UNet1d
+
+    return UNet1d(
+        dim=4,
+        channels=1,
+        dim_mults=(1, 2, 2, 3, 3, 4, 4),
+        conditional=True,
+        init_cond_channels=1,
+        attn_cond_channels=1,
+        tfer_dim_mult=620,
+        downsample_dim=40000,
+        simple=True,
+        dtype=dtype,
+    )
+
+
+def bench_unet_sample(num_steps=50):
+    import jax
+    import jax.numpy as jnp
+
+    from dquartic_tpu.core import DDIMProcess, make_schedule
+    from dquartic_tpu.infer import DDIMSampler
+
+    model = _canonical_unet(jnp.bfloat16)
+    process = DDIMProcess(schedule=make_schedule(1000, "cosine", "eps"))
+
+    b, rt, mz = 1, 34, 40000
+    x = jnp.zeros((b, rt, mz))
+    t0 = jnp.zeros((b,), jnp.int32)
+    ac = jnp.zeros((b, rt))
+    params = model.init(jax.random.PRNGKey(0), x, t0, x, ac)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    _log(f"unet params: {n_params/1e6:.1f}M")
+
+    sampler = DDIMSampler(model, process)
+    batch = _make_batch(b, rt, mz)
+    ms2 = jnp.asarray(batch["ms2_1"])
+    ms1 = jnp.asarray(batch["ms1_1"])
+    x_t = jax.random.normal(jax.random.PRNGKey(1), ms2.shape)
+
+    def run():
+        out, _ = sampler.sample(params, x_t, ms2, ms1, num_steps=num_steps)
+        return out
+
+    ms = _time_fn(run, warmup=1, iters=int(os.environ.get("BENCH_STEPS", "5")))
+    return {
+        "metric": f"{num_steps}-step DDIM sampling ms per MS2 window (UNet1d canonical, 34x40000, bf16)",
+        "value": round(ms, 1),
+        "unit": "ms/window",
+        "vs_baseline": 1.0,  # no published reference number exists (BASELINE.md)
+    }
+
+
+def bench_unet_train():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dquartic_tpu.core import DDIMProcess, make_schedule
+    from dquartic_tpu.train import Trainer
+    from dquartic_tpu.train.optim import make_optimizer
+
+    model = _canonical_unet(jnp.bfloat16)
+    process = DDIMProcess(schedule=make_schedule(1000, "cosine", "eps"))
+    # bf16 adam moments so the ~1.2B-param canonical model fits one chip
+    tx = optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.scale_by_adam(mu_dtype=jnp.bfloat16),
+        optax.add_decayed_weights(0.01),
+    )
+    trainer = Trainer(model, process, optimizer=tx, ema_decay=None, seed=0)
+    batch = _make_batch(1, 34, 40000)
+    state = trainer.init_state(batch)
+    _log(f"unet params: {trainer.num_parameters(state)/1e6:.1f}M")
+    dev_batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    lr = jnp.float32(1e-5)
+    holder = {"state": state}
+
+    def step():
+        rng = jax.random.PRNGKey(int(holder["state"].step))
+        holder["state"], metrics = trainer.train_step(holder["state"], dev_batch, lr, rng)
+        return metrics["loss"]
+
+    ms = _time_fn(step, warmup=2, iters=int(os.environ.get("BENCH_STEPS", "10")))
+    return {
+        "metric": "train step ms (UNet1d canonical, 34x40000 window, bs1, bf16)",
+        "value": round(ms, 1),
+        "unit": "ms/step",
+        "vs_baseline": 1.0,
+    }
+
+
+MODES = {
+    "transformer_train": bench_transformer_train,
+    "unet_sample": bench_unet_sample,
+    "unet_train": bench_unet_train,
+}
+
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "transformer_train")
+    import jax
+
+    _log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    result = MODES[mode]()
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

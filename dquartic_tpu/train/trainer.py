@@ -60,6 +60,7 @@ class Trainer:
         callback_handler: Optional[CallbackHandler] = None,
         seed: int = 0,
         sync_every_batch: bool = False,
+        tp_min_features: int = 2048,
     ):
         self.model = model
         self.process = process
@@ -71,6 +72,7 @@ class Trainer:
         self.callback_handler = callback_handler or CallbackHandler()
         self.base_key = jax.random.PRNGKey(seed)
         self.sync_every_batch = sync_every_batch
+        self.tp_min_features = tp_min_features
         self._train_step = None
         self._state_sharding = None
 
@@ -108,7 +110,9 @@ class Trainer:
         abstract = jax.eval_shape(
             lambda: self._fresh_state(self.init_params(example_batch))
         )
-        self._state_sharding = shardings_for_tree(abstract, self.mesh)
+        self._state_sharding = shardings_for_tree(
+            abstract, self.mesh, min_tp_features=self.tp_min_features
+        )
         init_fn = jax.jit(
             lambda: self._fresh_state(self.init_params(example_batch)),
             out_shardings=self._state_sharding,

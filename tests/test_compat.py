@@ -1,0 +1,286 @@
+"""Checkpoint-converter tests.
+
+Structure: a synthetic reference-shaped state_dict converts into exactly
+the tree `model.init` produces. Numerics: layout conventions (conv /
+dense / norms / packed attention) are validated against torch functional
+ops on the same inputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from dquartic_tpu.compat import (
+    convert_custom_transformer_state_dict,
+    convert_unet1d_state_dict,
+)
+from dquartic_tpu.models import CustomTransformer, UNet1d
+from dquartic_tpu.models.layers import conv1d
+
+TINY = dict(
+    dim=4,
+    channels=1,
+    dim_mults=(1, 2),
+    conditional=True,
+    init_cond_channels=1,
+    attn_cond_channels=1,
+    downsample_dim=16,
+    simple=True,
+)
+
+
+def _tiny_unet_torch_shapes():
+    """Torch state_dict key -> shape for UNet1d(**TINY), enumerated from the
+    reference module structure (unet1d.py:918-1084)."""
+    shapes = {
+        "init_conv.weight": (4, 2, 7), "init_conv.bias": (4,),
+        "time_mlp.1.weight": (16, 4), "time_mlp.1.bias": (16,),
+        "time_mlp.3.weight": (16, 16), "time_mlp.3.bias": (16,),
+        "init_cond_proj.to_scale_shift.1.weight": (2, 16),
+        "init_cond_proj.to_scale_shift.1.bias": (2,),
+        "attn_cond_proj.1.0.weight": (8, 1, 7), "attn_cond_proj.1.0.bias": (8,),
+        "attn_cond_proj.1.2.weight": (8, 8, 1), "attn_cond_proj.1.2.bias": (8,),
+        "final_conv.weight": (1, 4, 1), "final_conv.bias": (1,),
+    }
+
+    def resnet(prefix, din, dout, time_dim=16):
+        s = {
+            f"{prefix}.mlp.1.weight": (dout * 2, time_dim),
+            f"{prefix}.mlp.1.bias": (dout * 2,),
+            f"{prefix}.block1.proj.weight": (dout, din, 3),
+            f"{prefix}.block1.proj.bias": (dout,),
+            f"{prefix}.block1.norm.g": (1, dout, 1),
+            f"{prefix}.block2.proj.weight": (dout, dout, 3),
+            f"{prefix}.block2.proj.bias": (dout,),
+            f"{prefix}.block2.norm.g": (1, dout, 1),
+        }
+        if din != dout:
+            s[f"{prefix}.res_conv.weight"] = (dout, din, 1)
+            s[f"{prefix}.res_conv.bias"] = (dout,)
+        return s
+
+    def lin_attn(prefix, dim, hidden=128):
+        return {
+            f"{prefix}.fn.norm.g": (1, dim, 1),
+            f"{prefix}.fn.fn.to_qkv.weight": (hidden * 3, dim, 1),
+            f"{prefix}.fn.fn.to_out.0.weight": (dim, hidden, 1),
+            f"{prefix}.fn.fn.to_out.0.bias": (dim,),
+            f"{prefix}.fn.fn.to_out.1.g": (1, dim, 1),
+        }
+
+    # downs: in_out = [(4,4), (4,8)]
+    shapes.update(resnet("downs.0.0", 4, 4))
+    shapes.update(resnet("downs.0.1", 4, 4))
+    shapes.update(lin_attn("downs.0.2", 4))
+    shapes.update({"downs.0.3.weight": (4, 4, 4), "downs.0.3.bias": (4,)})
+    shapes.update(resnet("downs.1.0", 4, 4))
+    shapes.update(resnet("downs.1.1", 4, 4))
+    shapes.update(lin_attn("downs.1.2", 4))
+    shapes.update({"downs.1.3.weight": (8, 4, 3), "downs.1.3.bias": (8,)})
+
+    # mid: mz=16, one downsample -> mzp=8, mid_ch = 8*8 = 64
+    shapes.update(resnet("mid_block1", 64, 64))
+    shapes.update(
+        {
+            "mid_attn.fn.norm.g": (1, 64, 1),
+            "mid_attn.fn.fn.to_qv.weight": (256, 64, 1),
+            "mid_attn.fn.fn.to_k.weight": (128, 8, 1),
+            "mid_attn.fn.fn.to_out.weight": (64, 128, 1),
+            "mid_attn.fn.fn.to_out.bias": (64,),
+        }
+    )
+    shapes.update(resnet("mid_block2", 64, 64))
+
+    # ups: reversed in_out = [(4,8), (4,4)]
+    shapes.update(resnet("ups.0.0", 12, 8))
+    shapes.update(resnet("ups.0.1", 12, 8))
+    shapes.update(lin_attn("ups.0.2", 8))
+    shapes.update({"ups.0.3.1.weight": (4, 8, 3), "ups.0.3.1.bias": (4,)})
+    shapes.update(resnet("ups.1.0", 8, 4))
+    shapes.update(resnet("ups.1.1", 8, 4))
+    shapes.update(lin_attn("ups.1.2", 4))
+    shapes.update({"ups.1.3.weight": (4, 4, 3), "ups.1.3.bias": (4,)})
+
+    shapes.update(resnet("final_res_block", 8, 4))
+    return shapes
+
+
+def test_unet_converter_structure_matches_init():
+    rng = np.random.default_rng(0)
+    sd = {k: rng.normal(size=s).astype(np.float32) for k, s in _tiny_unet_torch_shapes().items()}
+    converted = convert_unet1d_state_dict(sd, dim_mults=TINY["dim_mults"])
+
+    model = UNet1d(**TINY)
+    x = jnp.ones((1, 4, 16))
+    t = jnp.zeros((1,), jnp.int32)
+    ref = model.init(jax.random.PRNGKey(0), x, t, x, jnp.ones((1, 4)))
+
+    ref_flat = jax.tree_util.tree_flatten_with_path(ref)[0]
+    conv_flat = jax.tree_util.tree_flatten_with_path(converted)[0]
+    ref_map = {jax.tree_util.keystr(k): v.shape for k, v in ref_flat}
+    conv_map = {jax.tree_util.keystr(k): v.shape for k, v in conv_flat}
+    assert ref_map == conv_map
+
+    # converted params actually run
+    out = model.apply(converted, x, t, x, jnp.ones((1, 4)))
+    assert out.shape == (1, 4, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_conv1d_layout_matches_torch():
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(6, 3, 5)).astype(np.float32)  # (out, in, k)
+    b = rng.normal(size=(6,)).astype(np.float32)
+    x = rng.normal(size=(2, 3, 11)).astype(np.float32)  # torch (B, C, L)
+
+    torch_out = torch.nn.functional.conv1d(
+        torch.tensor(x), torch.tensor(w), torch.tensor(b), padding=2
+    ).numpy()
+
+    m = conv1d(6, 5, padding=2)
+    params = {"params": {"kernel": jnp.asarray(np.transpose(w, (2, 1, 0))), "bias": jnp.asarray(b)}}
+    out = m.apply(params, jnp.asarray(np.transpose(x, (0, 2, 1))))  # (B, L, C)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 2, 1)), torch_out, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_strided_conv_matches_torch():
+    """Downsample conv: k=4, stride=2, pad=1 — the halving must agree."""
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(4, 2, 4)).astype(np.float32)
+    b = rng.normal(size=(4,)).astype(np.float32)
+    x = rng.normal(size=(1, 2, 16)).astype(np.float32)
+    torch_out = torch.nn.functional.conv1d(
+        torch.tensor(x), torch.tensor(w), torch.tensor(b), stride=2, padding=1
+    ).numpy()
+    m = conv1d(4, 4, stride=2, padding=1)
+    params = {"params": {"kernel": jnp.asarray(np.transpose(w, (2, 1, 0))), "bias": jnp.asarray(b)}}
+    out = m.apply(params, jnp.asarray(np.transpose(x, (0, 2, 1))))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 2, 1)), torch_out, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_rmsnorm_matches_torch_formula():
+    from dquartic_tpu.models.layers import RMSNorm
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(3, 7, 5)).astype(np.float32)  # (B, L, C)
+    g = rng.normal(size=(5,)).astype(np.float32)
+
+    xt = torch.tensor(np.transpose(x, (0, 2, 1)))  # (B, C, L)
+    gt = torch.tensor(g.reshape(1, 5, 1))
+    expected = (torch.nn.functional.normalize(xt, dim=1) * gt * (5**0.5)).numpy()
+
+    m = RMSNorm(5)
+    out = m.apply({"params": {"g": jnp.asarray(g)}}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 2, 1)), expected, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_custom_transformer_layer_matches_torch():
+    """Packed-qkv conversion + attention math vs nn.MultiheadAttention."""
+    from dquartic_tpu.models.transformer import TransformerLayer
+
+    h, heads = 16, 4
+    torch.manual_seed(0)
+    mha = torch.nn.MultiheadAttention(h, heads, batch_first=True)
+    ln1 = torch.nn.LayerNorm(h)
+    ln2 = torch.nn.LayerNorm(h)
+    ff1 = torch.nn.Linear(h, 4 * h)
+    ff2 = torch.nn.Linear(4 * h, h)
+
+    rng = np.random.default_rng(3)
+    x = torch.tensor(rng.normal(size=(2, 6, h)).astype(np.float32))
+    cond = torch.tensor(rng.normal(size=(2, 4, h)).astype(np.float32))
+
+    with torch.no_grad():
+        comb = torch.cat([cond, x], dim=1)
+        attn_out, _ = mha(x, comb, comb, need_weights=False)
+        y = ln1(x + attn_out)
+        y2 = ln2(y + ff2(torch.nn.functional.gelu(ff1(y))))
+    expected = y2.numpy()
+
+    sd = {}
+    sd["attention.in_proj_weight"] = mha.in_proj_weight.detach().numpy()
+    sd["attention.in_proj_bias"] = mha.in_proj_bias.detach().numpy()
+    sd["attention.out_proj.weight"] = mha.out_proj.weight.detach().numpy()
+    sd["attention.out_proj.bias"] = mha.out_proj.bias.detach().numpy()
+    sd["norm1.weight"] = ln1.weight.detach().numpy()
+    sd["norm1.bias"] = ln1.bias.detach().numpy()
+    sd["norm2.weight"] = ln2.weight.detach().numpy()
+    sd["norm2.bias"] = ln2.bias.detach().numpy()
+    sd["ff.0.weight"] = ff1.weight.detach().numpy()
+    sd["ff.0.bias"] = ff1.bias.detach().numpy()
+    sd["ff.2.weight"] = ff2.weight.detach().numpy()
+    sd["ff.2.bias"] = ff2.bias.detach().numpy()
+
+    full_sd = {f"layers.0.{k}": v for k, v in sd.items()}
+    # reuse the packed-qkv conversion path
+    conv = convert_custom_transformer_state_dict(
+        {
+            **full_sd,
+            "input_projection.weight": np.zeros((h, 8), np.float32),
+            "input_projection.bias": np.zeros((h,), np.float32),
+            "conditional_projection.weight": np.zeros((h, 1), np.float32),
+            "conditional_projection.bias": np.zeros((h,), np.float32),
+            "output_projection.weight": np.zeros((8, h), np.float32),
+            "output_projection.bias": np.zeros((8,), np.float32),
+            "time_embedding.linear1.weight": np.zeros((4 * h, h), np.float32),
+            "time_embedding.linear1.bias": np.zeros((4 * h,), np.float32),
+            "time_embedding.linear2.weight": np.zeros((h, 4 * h), np.float32),
+            "time_embedding.linear2.bias": np.zeros((h,), np.float32),
+        },
+        num_layers=1,
+        hidden_dim=h,
+    )
+    layer_params = {"params": conv["params"]["layers_0"]}
+
+    m = TransformerLayer(h, heads)
+    out = m.apply(layer_params, jnp.asarray(x.numpy()), jnp.asarray(cond.numpy()))
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4, atol=2e-5)
+
+
+def test_custom_transformer_full_conversion_runs():
+    rng = np.random.default_rng(4)
+    h, layers, in_dim = 16, 2, 32
+
+    def dense_sd(prefix, din, dout):
+        return {
+            f"{prefix}.weight": rng.normal(size=(dout, din)).astype(np.float32) * 0.05,
+            f"{prefix}.bias": np.zeros((dout,), np.float32),
+        }
+
+    sd = {}
+    sd.update(dense_sd("input_projection", in_dim, h))
+    sd.update(dense_sd("conditional_projection", 1, h))
+    sd.update(dense_sd("output_projection", h, in_dim))
+    sd.update(dense_sd("time_embedding.linear1", h, 4 * h))
+    sd.update(dense_sd("time_embedding.linear2", 4 * h, h))
+    for i in range(layers):
+        sd[f"layers.{i}.attention.in_proj_weight"] = rng.normal(size=(3 * h, h)).astype(np.float32) * 0.05
+        sd[f"layers.{i}.attention.in_proj_bias"] = np.zeros((3 * h,), np.float32)
+        sd.update(dense_sd(f"layers.{i}.attention.out_proj", h, h))
+        sd[f"layers.{i}.norm1.weight"] = np.ones((h,), np.float32)
+        sd[f"layers.{i}.norm1.bias"] = np.zeros((h,), np.float32)
+        sd[f"layers.{i}.norm2.weight"] = np.ones((h,), np.float32)
+        sd[f"layers.{i}.norm2.bias"] = np.zeros((h,), np.float32)
+        sd.update(dense_sd(f"layers.{i}.ff.0", h, 4 * h))
+        sd.update(dense_sd(f"layers.{i}.ff.2", 4 * h, h))
+
+    params = convert_custom_transformer_state_dict(sd, num_layers=layers, hidden_dim=h)
+    model = CustomTransformer(input_dim=in_dim, hidden_dim=h, num_heads=4, num_layers=layers)
+    x = jnp.ones((1, 5, in_dim))
+    t = jnp.zeros((1,), jnp.int32)
+    ms1 = jnp.ones((1, 5))
+    ref = model.init(jax.random.PRNGKey(0), x, t, None, ms1)
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref)
+    conv_shapes = jax.tree_util.tree_map(lambda a: a.shape, params)
+    assert ref_shapes == conv_shapes
+    out = model.apply(params, x, t, None, ms1)
+    assert np.isfinite(np.asarray(out)).all()
