@@ -46,15 +46,17 @@ def _make_batch(b, rt, mz, seed=0):
 
 
 def _time_fn(fn, warmup=3, iters=None):
+    """Time ``fn(i)`` over iters calls; only the final result is synced so
+    steps pipeline like a real training loop."""
     import jax
 
     iters = iters or int(os.environ.get("BENCH_STEPS", "20"))
-    for _ in range(warmup):
-        out = fn()
+    for i in range(warmup):
+        out = fn(i)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
+    for i in range(iters):
+        out = fn(i)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters * 1000.0  # ms
 
@@ -80,10 +82,12 @@ def bench_transformer_train():
     lr = jnp.float32(1e-5)
 
     holder = {"state": state}
+    keys = jax.random.split(jax.random.PRNGKey(0), 4096)
 
-    def step():
-        rng = jax.random.PRNGKey(int(holder["state"].step))
-        holder["state"], metrics = trainer.train_step(holder["state"], dev_batch, lr, rng)
+    def step(i):
+        holder["state"], metrics = trainer.train_step(
+            holder["state"], dev_batch, lr, keys[i]
+        )
         return metrics["loss"]
 
     ms = _time_fn(step)
@@ -136,7 +140,7 @@ def bench_unet_sample(num_steps=50):
     ms1 = jnp.asarray(batch["ms1_1"])
     x_t = jax.random.normal(jax.random.PRNGKey(1), ms2.shape)
 
-    def run():
+    def run(i):
         out, _ = sampler.sample(params, x_t, ms2, ms1, num_steps=num_steps)
         return out
 
@@ -173,10 +177,12 @@ def bench_unet_train():
     dev_batch = jax.tree_util.tree_map(jnp.asarray, batch)
     lr = jnp.float32(1e-5)
     holder = {"state": state}
+    keys = jax.random.split(jax.random.PRNGKey(0), 4096)
 
-    def step():
-        rng = jax.random.PRNGKey(int(holder["state"].step))
-        holder["state"], metrics = trainer.train_step(holder["state"], dev_batch, lr, rng)
+    def step(i):
+        holder["state"], metrics = trainer.train_step(
+            holder["state"], dev_batch, lr, keys[i]
+        )
         return metrics["loss"]
 
     ms = _time_fn(step, warmup=2, iters=int(os.environ.get("BENCH_STEPS", "10")))

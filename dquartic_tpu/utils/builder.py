@@ -66,14 +66,30 @@ def build_process(config: Dict[str, Any]) -> DDIMProcess:
     )
 
 
-def build_mesh(config: Dict[str, Any]):
+def build_mesh(config: Dict[str, Any], batch_size: Optional[int] = None):
+    """Mesh from config; a None dp defaults to the largest data-parallel
+    degree that divides the batch size (idle devices are left out rather
+    than producing an invalid batch sharding)."""
     mesh_cfg = config["tpu"]["mesh"]
-    dp, tp = mesh_cfg.get("dp"), mesh_cfg.get("tp", 1)
+    dp, tp = mesh_cfg.get("dp"), mesh_cfg.get("tp", 1) or 1
     import jax
 
-    if (dp in (None, 1) and tp in (None, 1)) and len(jax.devices()) == 1:
+    n = len(jax.devices())
+    if dp is None:
+        avail = max(1, n // tp)
+        if batch_size is None:
+            dp = avail
+        else:
+            dp = 1
+            for d in range(avail, 0, -1):
+                if batch_size % d == 0:
+                    dp = d
+                    break
+    if dp * tp == 1:
         return None  # single device: plain jit, no mesh overhead
-    return make_mesh(dp=dp, tp=tp or 1)
+    if dp * tp > n:
+        raise ValueError(f"mesh dp*tp={dp * tp} exceeds {n} devices")
+    return make_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
 
 
 def build_dataset(config: Dict[str, Any], seed: int = 0):
@@ -95,7 +111,7 @@ def build_trainer(
     model = build_model(config)
     process = build_process(config)
     if mesh is None:
-        mesh = build_mesh(config)
+        mesh = build_mesh(config, batch_size=config["model"]["batch_size"])
     if logger is None:
         w = config.get("wandb", {})
         logger = make_logger(

@@ -1,0 +1,171 @@
+"""CLI surface tests (click runner) and visualization hook tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from dquartic_tpu.cli import cli
+
+
+@pytest.fixture
+def tiny_config(tmp_path):
+    rng = np.random.default_rng(0)
+    ms2 = rng.uniform(0, 10, size=(6, 4, 16)).astype(np.float32)
+    ms1 = rng.uniform(0, 5, size=(6, 4)).astype(np.float32)
+    np.save(tmp_path / "ms2.npy", ms2)
+    np.save(tmp_path / "ms1.npy", ms1)
+
+    cfg = {
+        "data": {
+            "parquet_directory": None,
+            "ms2_data_path": str(tmp_path / "ms2.npy"),
+            "ms1_data_path": str(tmp_path / "ms1.npy"),
+            "normalize": "minmax",
+        },
+        "model": {
+            "checkpoint_path": str(tmp_path / "ckpt" / "best_model.ckpt"),
+            "num_epochs": 2,
+            "warmup_epochs": 1,
+            "batch_size": 2,
+            "learning_rate": 1e-3,
+            "num_timesteps": 10,
+            "beta_schedule_type": "cosine",
+            "pred_type": "eps",
+            "auto_normalize": True,
+            "ms1_loss_weight": 0.0,
+            "use_model": "UNet1d",
+            "CustomTransformer": {
+                "input_dim": 16,
+                "hidden_dim": 16,
+                "num_heads": 2,
+                "num_layers": 1,
+            },
+            "UNet1d": {
+                "dim": 4,
+                "channels": 1,
+                "dim_mults": [1, 2],
+                "conditional": True,
+                "init_cond_channels": 1,
+                "attn_cond_channels": 1,
+                "tfer_dim_mult": 620,
+                "downsample_dim": 16,
+                "simple": True,
+            },
+        },
+        "wandb": {"use_wandb": False},
+        "threads": 1,
+        "tpu": {"log_every_n_epochs": 1000},
+    }
+    path = tmp_path / "config.json"
+    path.write_text(json.dumps(cfg))
+    return path, tmp_path
+
+
+def test_generate_config_roundtrips(tmp_path):
+    runner = CliRunner()
+    out = tmp_path / "cfg.json"
+    res = runner.invoke(cli, ["generate-config", str(out)])
+    assert res.exit_code == 0, res.output
+    cfg = json.loads(out.read_text())
+    assert cfg["model"]["use_model"] == "UNet1d"
+    assert cfg["model"]["UNet1d"]["downsample_dim"] == 40000
+    assert "tpu" in cfg
+
+    from dquartic_tpu.utils.config import load_train_config
+
+    loaded = load_train_config(str(out), batch_size=7)
+    assert loaded["model"]["batch_size"] == 7
+
+
+def test_reference_config_loads_unchanged(tmp_path):
+    """A config without the tpu section (i.e. a reference config file)
+    must load with defaults applied."""
+    cfg = {
+        "data": {"parquet_directory": "data/", "normalize": "minmax"},
+        "model": {"batch_size": 1},
+        "wandb": {"use_wandb": True},
+        "threads": 4,
+    }
+    p = tmp_path / "ref.json"
+    p.write_text(json.dumps(cfg))
+    from dquartic_tpu.utils.config import load_train_config
+
+    loaded = load_train_config(str(p))
+    assert loaded["tpu"]["compute_dtype"] == "float32"
+    assert loaded["tpu"]["mesh"]["tp"] == 1
+    assert loaded["data"]["ms2_data_path"] is None
+
+
+def test_cli_train_and_predict(tiny_config):
+    config_path, tmp_path = tiny_config
+    runner = CliRunner()
+    res = runner.invoke(cli, ["train", str(config_path)])
+    assert res.exit_code == 0, res.output
+    ckpt = tmp_path / "ckpt" / "best_model.ckpt"
+    assert ckpt.exists()
+    assert (tmp_path / "ckpt" / "dquartic_latest_checkpoint.ckpt").exists()
+
+    out = tmp_path / "preds.npz"
+    res = runner.invoke(
+        cli,
+        ["predict", "--num-steps", "3", "--num-batches", "1", str(config_path), str(ckpt), str(out)],
+    )
+    assert res.exit_code == 0, res.output
+    data = np.load(out)
+    assert any(k.startswith("pred_") for k in data.files)
+
+
+def test_viz_hook(tmp_path):
+    import jax.numpy as jnp
+
+    from dquartic_tpu.core import DDIMProcess, make_schedule
+    from dquartic_tpu.data import DIAMSDataset
+    from dquartic_tpu.infer import DDIMSampler
+    from dquartic_tpu.models import UNet1d
+    from dquartic_tpu.train import Trainer
+    from dquartic_tpu.utils.logging import JsonlLogger
+    from dquartic_tpu.utils.viz import PredictionLoggingHook, plot_single_prediction
+
+    rng = np.random.default_rng(0)
+    ms2 = rng.uniform(0, 10, size=(5, 4, 16)).astype(np.float32)
+    ms1 = rng.uniform(0, 5, size=(5, 4)).astype(np.float32)
+    np.save(tmp_path / "ms2.npy", ms2)
+    np.save(tmp_path / "ms1.npy", ms1)
+    ds = DIAMSDataset(
+        ms2_file=str(tmp_path / "ms2.npy"), ms1_file=str(tmp_path / "ms1.npy"), normalize="minmax"
+    )
+
+    model = UNet1d(
+        dim=4, channels=1, dim_mults=(1, 2), conditional=True,
+        init_cond_channels=1, attn_cond_channels=1, downsample_dim=16,
+    )
+    process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
+    trainer = Trainer(model, process, seed=0)
+    batch = {
+        "ms2_1": ms2[:1], "ms1_1": ms1[:1], "ms2_2": ms2[1:2], "ms1_2": ms1[1:2],
+    }
+    state = trainer.init_state(batch)
+
+    logger = JsonlLogger(str(tmp_path / "logs"))
+    hook = PredictionLoggingHook(
+        DDIMSampler(model, process), ds, logger, out_dir=str(tmp_path / "plots"),
+        num_steps=(2,),
+    )
+    hook(0, 1.0, state)
+    logger.finish()
+
+    pngs = list((tmp_path / "plots").glob("*.png"))
+    assert len(pngs) == 6
+    log = (tmp_path / "logs" / "metrics.jsonl").read_text()
+    assert "predictions/cosine_2steps" in log
+    assert "predictions_table" in log
+
+    # direct panel rendering
+    paths = plot_single_prediction(
+        ms2[0], ms2[1], 0.5 * ms2[0] + 0.5 * ms2[1], ms1[0], ms2[0], ms2[1],
+        out_dir=str(tmp_path / "plots2"),
+    )
+    assert all(os.path.exists(p) for p in paths)
