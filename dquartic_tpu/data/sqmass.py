@@ -93,7 +93,12 @@ class SqMassLoader:
         return self.spec_id_iso_map
 
     def load_ms_data(self, ms_level: int) -> pd.DataFrame:
-        """Long-form (SPECTRUM_ID, NATIVE_ID, RETENTION_TIME, mz, intensity)."""
+        """Long-form (SPECTRUM_ID, NATIVE_ID, RETENTION_TIME, mz, intensity).
+
+        Blob decoding goes through the native batch decoder
+        (:mod:`dquartic_tpu.native`) when available — all spectra of a
+        level decompress in parallel C++ threads — with a pure-Python
+        fallback."""
         query = f"""
         SELECT SPECTRUM_ID, NATIVE_ID, RETENTION_TIME, COMPRESSION, DATA_TYPE, DATA
         FROM DATA
@@ -101,11 +106,19 @@ class SqMassLoader:
         WHERE MSLEVEL=={ms_level}
         """
         raw = pd.read_sql_query(query, self.conn)
+
+        from ..native import decode_batch
+
+        arrays = decode_batch(
+            [row.DATA for row in raw.itertuples(index=False)],
+            [int(row.COMPRESSION) for row in raw.itertuples(index=False)],
+        )
+
         # DATA_TYPE: 0 = mz array, 1 = intensity array
         per_spec = {}
-        for row in raw.itertuples(index=False):
-            arr = decompress_spectrum(row.DATA, row.COMPRESSION)
+        for row, arr in zip(raw.itertuples(index=False), arrays):
             if arr is None:
+                print("Error decompressing data: corrupt blob skipped")
                 continue
             entry = per_spec.setdefault(
                 row.SPECTRUM_ID,

