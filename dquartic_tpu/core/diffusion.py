@@ -147,7 +147,9 @@ class DDIMProcess:
         sqrt_ab_t = jnp.sqrt(alpha_bar_t)
         sqrt_1mab_t = jnp.sqrt(1.0 - alpha_bar_t)
 
-        pred = denoise_fn(x_t, t_vec, init_cond, attn_cond)
+        # The denoiser may compute in bf16; the DDIM algebra (and the scan
+        # carry) stays in the state dtype.
+        pred = denoise_fn(x_t, t_vec, init_cond, attn_cond).astype(x_t.dtype)
         if self.schedule.pred_type == "eps":
             eps_pred = pred
             x0_pred = (x_t - sqrt_1mab_t * eps_pred) / sqrt_ab_t
