@@ -69,6 +69,12 @@ class UNet1d(nn.Module):
     pos_output_only: bool = False
     attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
+    # Rematerialize ResNet blocks in the backward pass: trades FLOPs for
+    # HBM so full-resolution windows (e.g. rt=340 x mz=30000 from the
+    # reference's production data-gen settings, run_data_gen.sh) fit.
+    # Requires dropout == 0 (the only path that branches on
+    # `deterministic`).
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(
@@ -86,6 +92,12 @@ class UNet1d(nn.Module):
             squeeze_out = False
         b, rt, mz = x.shape
         dtype = self.dtype
+        if self.remat_blocks:
+            if self.dropout > 0:
+                raise ValueError("remat_blocks requires dropout == 0")
+            ResBlock = nn.remat(ResnetBlock)
+        else:
+            ResBlock = ResnetBlock
 
         init_dim = self.init_dim if self.init_dim is not None else self.dim
         time_dim = self.dim * 4
@@ -170,13 +182,13 @@ class UNet1d(nn.Module):
         skips = []
         for i, (dim_in, dim_out) in enumerate(in_out):
             is_last = i >= (len(in_out) - 1)
-            x = ResnetBlock(
+            x = ResBlock(
                 dim_in, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype,
                 name=f"downs_{i}_block1",
             )(x, t_rows, deterministic)
             skips.append(x)
 
-            x = ResnetBlock(
+            x = ResBlock(
                 dim_in, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype,
                 name=f"downs_{i}_block2",
             )(x, t_rows, deterministic)
@@ -195,7 +207,7 @@ class UNet1d(nn.Module):
         x = x.reshape(b, rt, mzp, mid_dim).transpose(0, 1, 3, 2).reshape(b, rt, mid_dim * mzp)
         mid_ch = mid_dim * mzp
 
-        x = ResnetBlock(
+        x = ResBlock(
             mid_ch, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype, name="mid_block1"
         )(x, t, deterministic)
 
@@ -225,7 +237,7 @@ class UNet1d(nn.Module):
             )(xn, cond=cond)
         x = x + attn_out
 
-        x = ResnetBlock(
+        x = ResBlock(
             mid_ch, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype, name="mid_block2"
         )(x, t, deterministic)
 
@@ -235,13 +247,13 @@ class UNet1d(nn.Module):
         for i, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = i == (len(in_out) - 1)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(
+            x = ResBlock(
                 dim_out, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype,
                 name=f"ups_{i}_block1",
             )(x, t_rows, deterministic)
 
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(
+            x = ResBlock(
                 dim_out, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype,
                 name=f"ups_{i}_block2",
             )(x, t_rows, deterministic)
@@ -260,7 +272,7 @@ class UNet1d(nn.Module):
             else self.channels * (2 if self.learned_variance else 1)
         )
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(
+        x = ResBlock(
             init_dim, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype,
             name="final_res_block",
         )(x, t_rows, deterministic)

@@ -209,3 +209,27 @@ def test_unet_bf16_compute():
     model, params, (x, t, ic, ac) = init_unet(cfg)
     out = model.apply(params, x, t, ic, ac)
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
+
+def test_remat_blocks_matches_non_remat():
+    """remat_blocks must not change outputs or gradients."""
+    cfg = dict(TINY)
+    model_a = UNet1d(**cfg)
+    model_b = UNet1d(**cfg, remat_blocks=True)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 4, 32)).astype(np.float32))
+    t = jnp.array([5], jnp.int32)
+    ic = jnp.asarray(rng.normal(size=(1, 4, 32)).astype(np.float32))
+    ac = jnp.asarray(rng.normal(size=(1, 4)).astype(np.float32))
+    params = model_a.init(key, x, t, ic, ac)
+
+    out_a = model_a.apply(params, x, t, ic, ac)
+    out_b = model_b.apply(params, x, t, ic, ac)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-6, atol=1e-7)
+
+    # recompute reassociates float ops; allow small numerical drift
+    ga = jax.grad(lambda p: jnp.sum(model_a.apply(p, x, t, ic, ac) ** 2))(params)
+    gb = jax.grad(lambda p: jnp.sum(model_b.apply(p, x, t, ic, ac) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4)
