@@ -45,19 +45,30 @@ def _make_batch(b, rt, mz, seed=0):
     }
 
 
+def _sync(out):
+    """Force completion: device->host readback of one scalar-ish leaf.
+
+    ``block_until_ready`` alone is not trusted on experimental PJRT
+    platforms; fetching bytes cannot lie."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(out)
+    import numpy as _np
+
+    return _np.asarray(jax.device_get(leaves[0])).ravel()[:1]
+
+
 def _time_fn(fn, warmup=3, iters=None):
     """Time ``fn(i)`` over iters calls; only the final result is synced so
     steps pipeline like a real training loop."""
-    import jax
-
     iters = iters or int(os.environ.get("BENCH_STEPS", "20"))
     for i in range(warmup):
         out = fn(i)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for i in range(iters):
         out = fn(i)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters * 1000.0  # ms
 
 
@@ -204,6 +215,16 @@ MODES = {
 def main():
     mode = os.environ.get("BENCH_MODE", "transformer_train")
     import jax
+
+    # persistent compile cache: repeat bench runs skip multi-minute compiles
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/dquartic_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     _log(f"backend={jax.default_backend()} devices={jax.devices()}")
     result = MODES[mode]()

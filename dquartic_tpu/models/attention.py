@@ -12,10 +12,21 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops import dot_product_attention
 from .layers import FeedForward1d, RMSNorm, conv1d
+
+
+class RMSNormParam(nn.Module):
+    """Parameter-only holder matching :class:`layers.RMSNorm`'s subtree."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("g", nn.initializers.ones, (self.dim,), jnp.float32)
 
 Dtype = jnp.dtype
 
@@ -59,6 +70,32 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * c)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only holder that reproduces a 1x1 ``nn.Conv``'s variable
+    subtree (kernel (1, in, out) [+ bias]) so checkpoints stay layout-
+    identical whether the op runs as XLA einsums or a fused Pallas
+    kernel."""
+
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, self.in_features, self.out_features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.out_features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class LinearAttention(nn.Module):
     """O(n) linear attention (unet1d.py:446-496).
 
@@ -67,17 +104,40 @@ class LinearAttention(nn.Module):
     MXU matmuls per head instead of an n^2 score matrix. Used as the cheap
     residual mixer at every U-Net resolution, where n is the m/z axis
     (up to 40k): never materializes an (n, n) tensor.
+
+    ``impl``: "xla" (einsum path), "pallas" (the fused streaming kernel in
+    :mod:`dquartic_tpu.ops.linear_attention`, which also fuses the output
+    projection + RMSNorm and keeps the 3*hidden qkv expansion out of
+    HBM), or "auto" (pallas on TPU for sequences >= 2048).
     """
 
     dim: int
     heads: int = 4
     dim_head: int = 32
+    impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hidden = self.heads * self.dim_head
-        qkv = conv1d(hidden * 3, 1, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        w_qkv, _ = _ConvParams(self.dim, hidden * 3, use_bias=False, name="to_qkv")()
+        w_out, b_out = _ConvParams(hidden, self.dim, name="to_out_conv")()
+        g = RMSNormParam(self.dim, name="to_out_norm")()
+
+        impl = self.impl
+        if impl == "auto":
+            on_tpu = jax.default_backend() == "tpu"
+            impl = "pallas" if (on_tpu and x.shape[1] >= 2048) else "xla"
+
+        if impl == "pallas":
+            from ..ops.linear_attention import fused_linear_attention
+
+            return fused_linear_attention(
+                x.astype(self.dtype), w_qkv[0], w_out[0], b_out, g,
+                heads=self.heads, dim_head=self.dim_head,
+            )
+
+        qkv = x.astype(self.dtype) @ w_qkv[0].astype(self.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = (_split_heads(t, self.heads) for t in (q, k, v))  # (b, h, n, c)
 
@@ -92,8 +152,12 @@ class LinearAttention(nn.Module):
         out = jnp.einsum("bhde,bhnd->bhne", context, q, preferred_element_type=jnp.float32)
         out = _merge_heads(out.astype(self.dtype))
 
-        out = conv1d(self.dim, 1, dtype=self.dtype, name="to_out_conv")(out)
-        return RMSNorm(self.dim, dtype=self.dtype, name="to_out_norm")(out)
+        out = out @ w_out[0].astype(self.dtype) + b_out.astype(self.dtype)
+        # RMSNorm (f32 internals), identical to layers.RMSNorm
+        x32 = out.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(jnp.square(x32), axis=-1, keepdims=True))
+        out = x32 / jnp.maximum(norm, 1e-12) * g * (self.dim**0.5)
+        return out.astype(self.dtype)
 
 
 class Attention(nn.Module):

@@ -68,6 +68,7 @@ class UNet1d(nn.Module):
     simple: bool = True
     pos_output_only: bool = False
     attn_impl: str = "auto"
+    linear_attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
     # Rematerialize ResNet blocks in the backward pass: trades FLOPs for
     # HBM so full-resolution windows (e.g. rt=340 x mz=30000 from the
@@ -155,7 +156,7 @@ class UNet1d(nn.Module):
                 ac = ResnetBlock(acid, time_emb_dim=None, dtype=dtype, name="attn_mz_res1")(ac)
                 ac = ResnetBlock(acid, time_emb_dim=None, dtype=dtype, name="attn_mz_res2")(ac)
                 acn = RMSNorm(acid, dtype=dtype, name="attn_mz_attn_norm")(ac)
-                ac = ac + LinearAttention(acid, dtype=dtype, name="attn_mz_attn_fn")(acn)
+                ac = ac + LinearAttention(acid, impl=self.linear_attn_impl, dtype=dtype, name="attn_mz_attn_fn")(acn)
 
             # pivot '(b rt) mz d -> b rt (d mz)' with channel-major (d, mz)
             # flattening order for checkpoint parity (unet1d.py:1129)
@@ -193,7 +194,7 @@ class UNet1d(nn.Module):
                 name=f"downs_{i}_block2",
             )(x, t_rows, deterministic)
             xn = RMSNorm(dim_in, dtype=dtype, name=f"downs_{i}_attn_norm")(x)
-            x = x + LinearAttention(dim_in, dtype=dtype, name=f"downs_{i}_attn_fn")(xn)
+            x = x + LinearAttention(dim_in, impl=self.linear_attn_impl, dtype=dtype, name=f"downs_{i}_attn_fn")(xn)
             skips.append(x)
 
             if not is_last:
@@ -258,7 +259,7 @@ class UNet1d(nn.Module):
                 name=f"ups_{i}_block2",
             )(x, t_rows, deterministic)
             xn = RMSNorm(dim_out, dtype=dtype, name=f"ups_{i}_attn_norm")(x)
-            x = x + LinearAttention(dim_out, dtype=dtype, name=f"ups_{i}_attn_fn")(xn)
+            x = x + LinearAttention(dim_out, impl=self.linear_attn_impl, dtype=dtype, name=f"ups_{i}_attn_fn")(xn)
 
             if not is_last:
                 x = Upsample(dim_in, dtype=dtype, name=f"ups_{i}_upsample")(x)

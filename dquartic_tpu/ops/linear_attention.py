@@ -1,0 +1,283 @@
+"""Fused Pallas linear attention over long sequences.
+
+The U-Net applies :class:`~dquartic_tpu.models.attention.LinearAttention`
+at every resolution of the m/z axis (up to 40k positions,
+reference unet1d.py:446-496 used at 1017/1068). The XLA formulation
+materializes the (N, 3*128) qkv expansion, two softmaxed copies, and the
+(N, 128) head output in HBM — ~25x more bytes than the (N, C<=16) input.
+This kernel streams the sequence through VMEM twice and keeps every
+intermediate on-chip:
+
+  pass A  (kernel_a): qkv projection -> online-rescaled softmax(k) over N
+          accumulated into the per-head (d, e) context matrix;
+  pass B  (kernel_b): q projection -> per-position softmax over head
+          channels -> context contraction -> output projection -> RMSNorm,
+          writing only the (N, C) result.
+
+HBM traffic collapses from O(N * 9 * hidden) to 2 reads of x + 1 write of
+y. Backward runs the jnp reference implementation under ``custom_vjp``
+(cheap recompute; training defaults to the XLA path anyway — this kernel
+is the inference fast path).
+
+Weight layout matches the flax module: w_qkv (C, 3H) with q|k|v on the
+last axis and heads channel-major inside each H block; w_out (H, C).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    _HAS_PLTPU = False
+
+_NEG_INF = -1e30
+
+
+def _vmem_spec(block_shape, index_map=None):
+    if _HAS_PLTPU:
+        return pl.BlockSpec(block_shape, index_map, memory_space=pltpu.VMEM)
+    return pl.BlockSpec(block_shape, index_map)
+
+
+def _scratch_vmem(shape, dtype):
+    if _HAS_PLTPU:
+        return pltpu.VMEM(shape, dtype)
+    from jax.experimental.pallas import MemoryRef  # fallback, interpret mode
+
+    return pltpu.VMEM(shape, dtype)
+
+
+# --------------------------------------------------------------------- #
+# reference (jnp) implementation — backward pass + testing oracle       #
+# --------------------------------------------------------------------- #
+
+
+def linear_attention_reference(
+    x: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    w_out: jnp.ndarray,
+    b_out: jnp.ndarray,
+    g: jnp.ndarray,
+    heads: int,
+    dim_head: int,
+) -> jnp.ndarray:
+    """Pure-XLA linear attention + out-projection + RMSNorm."""
+    B, N, C = x.shape
+    H = heads * dim_head
+    x32 = x.astype(jnp.float32)
+    qkv = x32 @ w_qkv.astype(jnp.float32)  # (B, N, 3H)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def to_heads(t):  # (B, N, H) -> (B, h, N, d), channel-major heads
+        return t.reshape(B, N, heads, dim_head).transpose(0, 2, 1, 3)
+
+    q, k, v = to_heads(q), to_heads(k), to_heads(v)
+    q = jax.nn.softmax(q, axis=-1) * (dim_head**-0.5)
+    k = jax.nn.softmax(k, axis=-2)
+    context = jnp.einsum("bhnd,bhne->bhde", k, v)
+    out = jnp.einsum("bhde,bhnd->bhne", context, q)
+    out = out.transpose(0, 2, 1, 3).reshape(B, N, H)
+    y = out @ w_out.astype(jnp.float32) + b_out.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(jnp.square(y), axis=-1, keepdims=True))
+    y = y / jnp.maximum(norm, 1e-12) * g.astype(jnp.float32) * (C**0.5)
+    return y.astype(x.dtype)
+
+
+# --------------------------------------------------------------------- #
+# pass A: context accumulation                                          #
+# --------------------------------------------------------------------- #
+
+
+def _kernel_a(
+    x_ref, wk_ref, wv_ref, ctx_ref, m_ref, s_ref, acc_ref,
+    *, block_n: int, seq_len: int, heads: int, dim_head: int,
+):
+    j = pl.program_id(1)
+    num_blocks = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        s_ref[...] = jnp.zeros_like(s_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # (block_n, C)
+    k = jnp.dot(x, wk_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32)
+    v = jnp.dot(x, wv_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32)
+
+    # mask padded rows
+    row = j * block_n + jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
+    valid = row < seq_len
+    k = jnp.where(valid, k, _NEG_INF)
+    v = jnp.where(valid, v, 0.0)
+
+    m_old = m_ref[...]  # (1, H)
+    s_old = s_ref[...]
+    acc_old = acc_ref[...]  # (dim_head_e, H) — rows e, cols (h, d)
+
+    m_new = jnp.maximum(m_old, jnp.max(k, axis=0, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)  # (1, H)
+    p = jnp.exp(k - m_new)  # (block_n, H); padded rows -> 0
+    s_new = s_old * alpha + jnp.sum(p, axis=0, keepdims=True)
+
+    # per-head contraction over the block: (h, e, n) @ (h, n, d) -> (h, e, d)
+    ph = p.reshape(block_n, heads, dim_head).transpose(1, 0, 2)  # (h, n, d)
+    vh = v.reshape(block_n, heads, dim_head).transpose(1, 2, 0)  # (h, e, n)
+    c = jax.lax.dot_general(
+        vh, ph, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (h, e, d)
+    c = c.transpose(1, 0, 2).reshape(dim_head, heads * dim_head)  # (e, (h d))
+
+    acc_new = acc_old * alpha + c
+    m_ref[...] = m_new
+    s_ref[...] = s_new
+    acc_ref[...] = acc_new
+
+    @pl.when(j == num_blocks - 1)
+    def _():
+        ctx_ref[0] = acc_ref[...] / jnp.maximum(s_ref[...], 1e-30)
+
+
+# --------------------------------------------------------------------- #
+# pass B: output                                                        #
+# --------------------------------------------------------------------- #
+
+
+def _kernel_b(
+    x_ref, wq_ref, wout_ref, bout_ref, g_ref, ctx_ref, o_ref,
+    *, heads: int, dim_head: int, channels: int,
+):
+    x = x_ref[0].astype(jnp.float32)  # (block_n, C)
+    block_n = x.shape[0]
+    q = jnp.dot(x, wq_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32)
+
+    qh = q.reshape(block_n, heads, dim_head)
+    qh = jax.nn.softmax(qh, axis=-1) * (dim_head**-0.5)
+
+    ctx = ctx_ref[0]  # (e, (h d))
+    ctxh = ctx.reshape(dim_head, heads, dim_head).transpose(1, 2, 0)  # (h, d, e)
+    qb = qh.transpose(1, 0, 2)  # (h, n, d)
+    ob = jax.lax.dot_general(
+        qb, ctxh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (h, n, e)
+    o = ob.transpose(1, 0, 2).reshape(block_n, heads * dim_head)
+
+    y = jnp.dot(o, wout_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32)
+    y = y + bout_ref[...]
+    norm = jnp.sqrt(jnp.sum(jnp.square(y), axis=-1, keepdims=True))
+    y = y / jnp.maximum(norm, 1e-12) * g_ref[...] * (channels**0.5)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+# --------------------------------------------------------------------- #
+# wrapper                                                               #
+# --------------------------------------------------------------------- #
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _fused_forward(
+    x, w_qkv, w_out, b_out, g, heads, dim_head, block_n, interpret
+):
+    B, N, C = x.shape
+    H = heads * dim_head
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    np_ = _round_up(max(N, block_n), block_n)
+    xp = jnp.pad(x, ((0, 0), (0, np_ - N), (0, 0)))
+    num_blocks = np_ // block_n
+
+    wq = w_qkv[:, :H]
+    wk = w_qkv[:, H : 2 * H]
+    wv = w_qkv[:, 2 * H :]
+    b2 = b_out.reshape(1, C).astype(jnp.float32)
+    g2 = g.reshape(1, C).astype(jnp.float32)
+
+    kernel_a = functools.partial(
+        _kernel_a, block_n=block_n, seq_len=N, heads=heads, dim_head=dim_head
+    )
+    ctx = pl.pallas_call(
+        kernel_a,
+        out_shape=jax.ShapeDtypeStruct((B, dim_head, H), jnp.float32),
+        grid=(B, num_blocks),
+        in_specs=[
+            _vmem_spec((1, block_n, C), lambda i, j: (i, j, 0)),
+            _vmem_spec((C, H), lambda i, j: (0, 0)),
+            _vmem_spec((C, H), lambda i, j: (0, 0)),
+        ],
+        out_specs=_vmem_spec((1, dim_head, H), lambda i, j: (i, 0, 0)),
+        scratch_shapes=[
+            _scratch_vmem((1, H), jnp.float32),
+            _scratch_vmem((1, H), jnp.float32),
+            _scratch_vmem((dim_head, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, wk, wv)
+
+    kernel_b = functools.partial(
+        _kernel_b, heads=heads, dim_head=dim_head, channels=C
+    )
+    y = pl.pallas_call(
+        kernel_b,
+        out_shape=jax.ShapeDtypeStruct((B, np_, C), x.dtype),
+        grid=(B, num_blocks),
+        in_specs=[
+            _vmem_spec((1, block_n, C), lambda i, j: (i, j, 0)),
+            _vmem_spec((C, H), lambda i, j: (0, 0)),
+            _vmem_spec((H, C), lambda i, j: (0, 0)),
+            _vmem_spec((1, C), lambda i, j: (0, 0)),
+            _vmem_spec((1, C), lambda i, j: (0, 0)),
+            _vmem_spec((1, dim_head, H), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=_vmem_spec((1, block_n, C), lambda i, j: (i, j, 0)),
+        interpret=interpret,
+    )(xp, wq, w_out, b2, g2, ctx)
+
+    return y[:, :N, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused(x, w_qkv, w_out, b_out, g, heads, dim_head):
+    return _fused_forward(x, w_qkv, w_out, b_out, g, heads, dim_head, 512, None)
+
+
+def _fused_fwd(x, w_qkv, w_out, b_out, g, heads, dim_head):
+    return _fused(x, w_qkv, w_out, b_out, g, heads, dim_head), (x, w_qkv, w_out, b_out, g)
+
+
+def _fused_bwd(heads, dim_head, res, grad):
+    x, w_qkv, w_out, b_out, g = res
+    _, vjp = jax.vjp(
+        lambda *a: linear_attention_reference(*a, heads=heads, dim_head=dim_head),
+        x, w_qkv, w_out, b_out, g,
+    )
+    return vjp(grad)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_linear_attention(
+    x: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    w_out: jnp.ndarray,
+    b_out: jnp.ndarray,
+    g: jnp.ndarray,
+    heads: int = 4,
+    dim_head: int = 32,
+) -> jnp.ndarray:
+    """Fused linear attention + output projection + RMSNorm (see module
+    docstring). Differentiable (reference-implementation backward)."""
+    return _fused(x, w_qkv, w_out, b_out, g, heads, dim_head)

@@ -1,0 +1,86 @@
+"""Fused Pallas linear-attention kernel vs the jnp reference and vs the
+flax LinearAttention module (values + gradients, interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dquartic_tpu.models.attention import LinearAttention
+from dquartic_tpu.ops.linear_attention import (
+    fused_linear_attention,
+    linear_attention_reference,
+)
+
+
+def make_weights(C=8, heads=4, dim_head=32, seed=0):
+    rng = np.random.default_rng(seed)
+    H = heads * dim_head
+    w_qkv = jnp.asarray(rng.normal(size=(C, 3 * H)).astype(np.float32) * 0.1)
+    w_out = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
+    b_out = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    return w_qkv, w_out, b_out, g
+
+
+@pytest.mark.parametrize("N", [64, 512, 700, 1025])
+def test_fused_matches_reference(N):
+    C, heads, dim_head = 8, 4, 32
+    w_qkv, w_out, b_out, g = make_weights(C, heads, dim_head)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, N, C)).astype(np.float32))
+    out_ref = linear_attention_reference(x, w_qkv, w_out, b_out, g, heads, dim_head)
+    out = fused_linear_attention(x, w_qkv, w_out, b_out, g, heads, dim_head)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), rtol=2e-4, atol=2e-5)
+
+
+def test_reference_matches_module():
+    """The jnp reference (= the fused kernel's oracle and backward) must
+    equal the flax module with the same weights."""
+    C, heads, dim_head = 8, 4, 32
+    H = heads * dim_head
+    w_qkv, w_out, b_out, g = make_weights(C, heads, dim_head)
+    m = LinearAttention(dim=C, heads=heads, dim_head=dim_head)
+    params = {
+        "params": {
+            "to_qkv": {"kernel": w_qkv[None]},
+            "to_out_conv": {"kernel": w_out[None], "bias": b_out},
+            "to_out_norm": {"g": g},
+        }
+    }
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(3, 100, C)).astype(np.float32))
+    out_mod = m.apply(params, x)
+    out_ref = linear_attention_reference(x, w_qkv, w_out, b_out, g, heads, dim_head)
+    np.testing.assert_allclose(np.asarray(out_mod), np.asarray(out_ref), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_gradients():
+    C, heads, dim_head = 4, 2, 16
+    w_qkv, w_out, b_out, g = make_weights(C, heads, dim_head, seed=3)
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(1, 96, C)).astype(np.float32))
+
+    def loss_fused(x, wq, wo, bo, gg):
+        return jnp.sum(fused_linear_attention(x, wq, wo, bo, gg, heads, dim_head) ** 2)
+
+    def loss_ref(x, wq, wo, bo, gg):
+        return jnp.sum(
+            linear_attention_reference(x, wq, wo, bo, gg, heads, dim_head) ** 2
+        )
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w_qkv, w_out, b_out, g)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w_qkv, w_out, b_out, g)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_bf16():
+    C, heads, dim_head = 8, 4, 32
+    w_qkv, w_out, b_out, g = make_weights(C, heads, dim_head)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(1, 300, C)).astype(np.float32))
+    out32 = fused_linear_attention(x, w_qkv, w_out, b_out, g, heads, dim_head)
+    out16 = fused_linear_attention(
+        x.astype(jnp.bfloat16), w_qkv, w_out, b_out, g, heads, dim_head
+    )
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(out32), rtol=5e-2, atol=5e-2
+    )
