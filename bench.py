@@ -110,7 +110,7 @@ def bench_transformer_train():
     }
 
 
-def _canonical_unet(dtype):
+def _canonical_unet(dtype, linear_attn_impl="auto"):
     from dquartic_tpu.models import UNet1d
 
     return UNet1d(
@@ -124,20 +124,21 @@ def _canonical_unet(dtype):
         downsample_dim=40000,
         simple=True,
         dtype=dtype,
+        linear_attn_impl=linear_attn_impl,
     )
 
 
-def bench_unet_sample(num_steps=50):
+def bench_unet_sample(num_steps=50, batch=1, linear_attn_impl="auto", tag=""):
     import jax
     import jax.numpy as jnp
 
     from dquartic_tpu.core import DDIMProcess, make_schedule
     from dquartic_tpu.infer import DDIMSampler
 
-    model = _canonical_unet(jnp.bfloat16)
+    model = _canonical_unet(jnp.bfloat16, linear_attn_impl)
     process = DDIMProcess(schedule=make_schedule(1000, "cosine", "eps"))
 
-    b, rt, mz = 1, 34, 40000
+    b, rt, mz = batch, 34, 40000
     x = jnp.zeros((b, rt, mz))
     t0 = jnp.zeros((b,), jnp.int32)
     ac = jnp.zeros((b, rt))
@@ -156,9 +157,11 @@ def bench_unet_sample(num_steps=50):
         return out
 
     ms = _time_fn(run, warmup=1, iters=int(os.environ.get("BENCH_STEPS", "5")))
+    per_window = ms / batch
+    desc = f"batch {batch}" + (f", {tag}" if tag else "")
     return {
-        "metric": f"{num_steps}-step DDIM sampling ms per MS2 window (UNet1d canonical, 34x40000, bf16)",
-        "value": round(ms, 1),
+        "metric": f"{num_steps}-step DDIM sampling ms per MS2 window (UNet1d canonical, 34x40000, bf16, {desc})",
+        "value": round(per_window, 1),
         "unit": "ms/window",
         "vs_baseline": 1.0,  # no published reference number exists (BASELINE.md)
     }
@@ -208,6 +211,8 @@ def bench_unet_train():
 MODES = {
     "transformer_train": bench_transformer_train,
     "unet_sample": bench_unet_sample,
+    "unet_sample_xla": lambda: bench_unet_sample(linear_attn_impl="xla", tag="xla linear-attn"),
+    "unet_sample_batched": lambda: bench_unet_sample(batch=8, tag="pallas linear-attn"),
     "unet_train": bench_unet_train,
 }
 

@@ -97,6 +97,20 @@ def linear_attention_reference(
 # --------------------------------------------------------------------- #
 
 
+def _head_mask(heads: int, dim_head: int) -> jnp.ndarray:
+    """(H, H) block-diagonal 1/0 mask marking same-head channel pairs.
+
+    Mosaic supports neither 3-D reshapes nor per-head batched matmuls on
+    2-D tiles, so per-head contractions run as full (H, H) matmuls and
+    the cross-head blocks are masked out (4x extra MXU FLOPs on a
+    128x128 tile — free next to the HBM savings).
+    """
+    H = heads * dim_head
+    i = jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
+    return ((i // dim_head) == (j // dim_head)).astype(jnp.float32)
+
+
 def _kernel_a(
     x_ref, wk_ref, wv_ref, ctx_ref, m_ref, s_ref, acc_ref,
     *, block_n: int, seq_len: int, heads: int, dim_head: int,
@@ -122,29 +136,27 @@ def _kernel_a(
 
     m_old = m_ref[...]  # (1, H)
     s_old = s_ref[...]
-    acc_old = acc_ref[...]  # (dim_head_e, H) — rows e, cols (h, d)
+    acc_old = acc_ref[...]  # (H, H): rows e (from v), cols d (from k)
 
     m_new = jnp.maximum(m_old, jnp.max(k, axis=0, keepdims=True))
-    alpha = jnp.exp(m_old - m_new)  # (1, H)
+    alpha = jnp.exp(m_old - m_new)  # (1, H), per column d
     p = jnp.exp(k - m_new)  # (block_n, H); padded rows -> 0
     s_new = s_old * alpha + jnp.sum(p, axis=0, keepdims=True)
 
-    # per-head contraction over the block: (h, e, n) @ (h, n, d) -> (h, e, d)
-    ph = p.reshape(block_n, heads, dim_head).transpose(1, 0, 2)  # (h, n, d)
-    vh = v.reshape(block_n, heads, dim_head).transpose(1, 2, 0)  # (h, e, n)
+    # full channel-pair contraction over the block: c[e, d] = sum_n v_e p_d
     c = jax.lax.dot_general(
-        vh, ph, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (h, e, d)
-    c = c.transpose(1, 0, 2).reshape(dim_head, heads * dim_head)  # (e, (h d))
+        v, p, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (H, H)
 
-    acc_new = acc_old * alpha + c
+    acc_new = acc_old * alpha + c  # alpha broadcasts over rows e
     m_ref[...] = m_new
     s_ref[...] = s_new
     acc_ref[...] = acc_new
 
     @pl.when(j == num_blocks - 1)
     def _():
-        ctx_ref[0] = acc_ref[...] / jnp.maximum(s_ref[...], 1e-30)
+        mask = _head_mask(heads, dim_head)
+        ctx_ref[0] = acc_ref[...] / jnp.maximum(s_ref[...], 1e-30) * mask
 
 
 # --------------------------------------------------------------------- #
@@ -157,19 +169,23 @@ def _kernel_b(
     *, heads: int, dim_head: int, channels: int,
 ):
     x = x_ref[0].astype(jnp.float32)  # (block_n, C)
-    block_n = x.shape[0]
     q = jnp.dot(x, wq_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32)
 
-    qh = q.reshape(block_n, heads, dim_head)
-    qh = jax.nn.softmax(qh, axis=-1) * (dim_head**-0.5)
+    # Segment (per-head) softmax over the 32 channels of each head,
+    # without 3-D reshapes: subtract the row-global max (a valid softmax
+    # shift constant for every head group), then head-sum via a matmul
+    # with the block-diagonal mask.
+    mask = _head_mask(heads, dim_head)
+    gmax = jnp.max(q, axis=-1, keepdims=True)
+    eq = jnp.exp(q - gmax)
+    ssum = jnp.dot(eq, mask, preferred_element_type=jnp.float32)  # per-head sums
+    qn = eq / jnp.maximum(ssum, 1e-30) * (dim_head**-0.5)
 
-    ctx = ctx_ref[0]  # (e, (h d))
-    ctxh = ctx.reshape(dim_head, heads, dim_head).transpose(1, 2, 0)  # (h, d, e)
-    qb = qh.transpose(1, 0, 2)  # (h, n, d)
-    ob = jax.lax.dot_general(
-        qb, ctxh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (h, n, e)
-    o = ob.transpose(1, 0, 2).reshape(block_n, heads * dim_head)
+    ctx = ctx_ref[0]  # (H_e, H_d), already head-masked + normalized
+    # out[n, e] = sum_d qn[n, d] * ctx[e, d]
+    o = jax.lax.dot_general(
+        qn, ctx, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_n, H)
 
     y = jnp.dot(o, wout_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32)
     y = y + bout_ref[...]
@@ -210,18 +226,18 @@ def _fused_forward(
     )
     ctx = pl.pallas_call(
         kernel_a,
-        out_shape=jax.ShapeDtypeStruct((B, dim_head, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H, H), jnp.float32),
         grid=(B, num_blocks),
         in_specs=[
             _vmem_spec((1, block_n, C), lambda i, j: (i, j, 0)),
             _vmem_spec((C, H), lambda i, j: (0, 0)),
             _vmem_spec((C, H), lambda i, j: (0, 0)),
         ],
-        out_specs=_vmem_spec((1, dim_head, H), lambda i, j: (i, 0, 0)),
+        out_specs=_vmem_spec((1, H, H), lambda i, j: (i, 0, 0)),
         scratch_shapes=[
             _scratch_vmem((1, H), jnp.float32),
             _scratch_vmem((1, H), jnp.float32),
-            _scratch_vmem((dim_head, H), jnp.float32),
+            _scratch_vmem((H, H), jnp.float32),
         ],
         interpret=interpret,
     )(xp, wk, wv)
@@ -239,7 +255,7 @@ def _fused_forward(
             _vmem_spec((H, C), lambda i, j: (0, 0)),
             _vmem_spec((1, C), lambda i, j: (0, 0)),
             _vmem_spec((1, C), lambda i, j: (0, 0)),
-            _vmem_spec((1, dim_head, H), lambda i, j: (i, 0, 0)),
+            _vmem_spec((1, H, H), lambda i, j: (i, 0, 0)),
         ],
         out_specs=_vmem_spec((1, block_n, C), lambda i, j: (i, j, 0)),
         interpret=interpret,
