@@ -81,6 +81,25 @@ def train(config_path, parquet_directory, ms2_data_path, ms1_data_path, batch_si
     dataset = build_dataset(config)
     trainer = build_trainer(config)
     m = config["model"]
+
+    # Periodic prediction tables (reference model_interface.py:432-439):
+    # every log_every_n_epochs, deconvolve one random window at several
+    # step counts and log the panels.
+    prediction_hook = None
+    if config["tpu"].get("log_predictions") and trainer.logger is not None:
+        import os
+
+        from .infer import DDIMSampler
+        from .utils.viz import PredictionLoggingHook
+
+        prediction_hook = PredictionLoggingHook(
+            DDIMSampler(trainer.model, trainer.process),
+            dataset.inner.dataset,
+            trainer.logger,
+            out_dir=os.path.dirname(m["checkpoint_path"]) or ".",
+            num_steps=config["tpu"]["prediction_num_steps"],
+        )
+
     state = trainer.train(
         dataset,
         epochs=m["num_epochs"],
@@ -89,6 +108,7 @@ def train(config_path, parquet_directory, ms2_data_path, ms1_data_path, batch_si
         checkpoint_path=m["checkpoint_path"],
         log_every_n_epochs=config["tpu"]["log_every_n_epochs"],
         checkpoint_every_n_epochs=config["tpu"]["checkpoint_every_n_epochs"],
+        prediction_hook=prediction_hook,
     )
     if trainer.logger is not None:
         trainer.logger.finish()

@@ -5,6 +5,7 @@ from .sharding import (
     shardings_for_tree,
     shard_batch,
 )
+from .distributed import initialize_runtime, global_batch_from_local
 
 __all__ = [
     "make_mesh",
@@ -13,4 +14,6 @@ __all__ = [
     "replicated_sharding",
     "shardings_for_tree",
     "shard_batch",
+    "initialize_runtime",
+    "global_batch_from_local",
 ]

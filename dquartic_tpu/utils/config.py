@@ -22,6 +22,8 @@ TPU_DEFAULTS: Dict[str, Any] = {
     "log_every_n_epochs": 100,
     "prefetch": 2,
     "sample_num_steps": 50,
+    "prediction_num_steps": [100, 500, 1000],
+    "log_predictions": False,
 }
 
 _OVERRIDE_KEYS = {
