@@ -169,3 +169,48 @@ def test_ms1_sic_loss_zero_when_consistent():
     rank1 = c[:, :, None] * w[None, None, :]
     loss = DDIMProcess._ms1_sic_loss(rank1, c)
     np.testing.assert_allclose(np.asarray(loss), np.zeros(2), atol=1e-10)
+
+
+def test_sample_x0_pred_type():
+    """x0-prediction reverse pass: a model that predicts x0 perfectly
+    converges to it regardless of start point."""
+    proc = DDIMProcess(schedule=make_schedule(30, "cosine", "x0"))
+    x0_true = jnp.full((1, 3, 4), 0.25)
+
+    def denoise(x, t, ic, ac):
+        return proc.normalize(x0_true)
+
+    x_T = jnp.asarray(np.random.default_rng(0).normal(size=(1, 3, 4)).astype(np.float32))
+    out, _ = proc.sample(denoise, x_T, num_steps=10)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0_true), rtol=1e-4, atol=1e-4)
+
+
+def test_linear_schedule_process():
+    proc = DDIMProcess(schedule=make_schedule(50, "linear", "eps"))
+    x0 = jnp.ones((1, 2, 4)) * 0.3
+
+    def denoise(x, t, ic, ac):
+        return jnp.zeros_like(x)
+
+    loss, _ = proc.train_loss(denoise, jax.random.PRNGKey(0), x0)
+    assert np.isfinite(float(loss))
+    out, _ = proc.sample(denoise, jnp.zeros((1, 2, 4)), num_steps=5)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_train_loss_with_ms1_weight():
+    proc = DDIMProcess(schedule=make_schedule(20, "cosine", "eps"), ms1_loss_weight=0.3)
+    rng_np = np.random.default_rng(0)
+    x0 = jnp.asarray(rng_np.uniform(size=(2, 4, 8)).astype(np.float32))
+    ms2 = jnp.asarray(rng_np.uniform(size=(2, 4, 8)).astype(np.float32))
+    ms1 = jnp.asarray(rng_np.uniform(size=(2, 4)).astype(np.float32))
+
+    def denoise(x, t, ic, ac):
+        return jnp.zeros_like(x)
+
+    loss, aux = proc.train_loss(denoise, jax.random.PRNGKey(1), x0, ms2, ms1)
+    assert np.isfinite(float(loss))
+    # with weight>0 the loss blends primary and SIC components
+    proc0 = DDIMProcess(schedule=make_schedule(20, "cosine", "eps"))
+    loss0, _ = proc0.train_loss(denoise, jax.random.PRNGKey(1), x0, ms2, ms1)
+    assert float(loss) != float(loss0)
