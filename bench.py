@@ -147,9 +147,9 @@ def bench_unet_sample(num_steps=50, batch=1, linear_attn_impl="auto", tag=""):
     _log(f"unet params: {n_params/1e6:.1f}M")
 
     sampler = DDIMSampler(model, process)
-    batch = _make_batch(b, rt, mz)
-    ms2 = jnp.asarray(batch["ms2_1"])
-    ms1 = jnp.asarray(batch["ms1_1"])
+    data = _make_batch(b, rt, mz)
+    ms2 = jnp.asarray(data["ms2_1"])
+    ms1 = jnp.asarray(data["ms1_1"])
     x_t = jax.random.normal(jax.random.PRNGKey(1), ms2.shape)
 
     def run(i):

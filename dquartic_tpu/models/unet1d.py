@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .attention import Attention, LinearAttention, Transformer1d
@@ -69,6 +70,11 @@ class UNet1d(nn.Module):
     pos_output_only: bool = False
     attn_impl: str = "auto"
     linear_attn_impl: str = "auto"
+    # Sequence-parallel activation sharding: ("dp", "sp") names the mesh
+    # axes for the row dim (b*rt) and the m/z dim of per-row activations.
+    # XLA SPMD inserts the conv halo exchanges. Requires running under a
+    # mesh that defines those axes; None = no constraints (default).
+    activation_sharding: Optional[Tuple[str, str]] = None
     dtype: Dtype = jnp.float32
     # Rematerialize ResNet blocks in the backward pass: trades FLOPs for
     # HBM so full-resolution windows (e.g. rt=340 x mz=30000 from the
@@ -131,7 +137,17 @@ class UNet1d(nn.Module):
             # torch cat((init_cond, x), dim=channel) — unet1d.py:1115
             x = jnp.concatenate([ic, x], axis=-1)
 
+        def constrain(rows):
+            """Optional (dp, sp) sharding hint on (b*rt, mz', C) tensors."""
+            if self.activation_sharding is None:
+                return rows
+            from jax.sharding import PartitionSpec as P
+
+            dp_ax, sp_ax = self.activation_sharding
+            return jax.lax.with_sharding_constraint(rows, P(dp_ax, sp_ax, None))
+
         x = conv1d(init_dim, 7, padding=3, dtype=dtype, name="init_conv")(x)
+        x = constrain(x)
         r = x
 
         # ---- MS1 condition tower (unet1d.py:966-1001, 1120-1130) -------- #
@@ -201,6 +217,7 @@ class UNet1d(nn.Module):
                 x = Downsample(dim_out, dtype=dtype, name=f"downs_{i}_downsample")(x)
             else:
                 x = conv1d(dim_out, 3, padding=1, dtype=dtype, name=f"downs_{i}_downsample")(x)
+            x = constrain(x)
 
         # ---- bottleneck: pivot to (b, rt, C*mz') (unet1d.py:1144-1148) --- #
         mid_dim = dims[-1]
@@ -265,6 +282,7 @@ class UNet1d(nn.Module):
                 x = Upsample(dim_in, dtype=dtype, name=f"ups_{i}_upsample")(x)
             else:
                 x = conv1d(dim_in, 3, padding=1, dtype=dtype, name=f"ups_{i}_upsample")(x)
+            x = constrain(x)
 
         # ---- head (unet1d.py:1078-1084, 1160-1165) ----------------------- #
         out_dim = (

@@ -28,23 +28,31 @@ from jax.sharding import Mesh
 def make_mesh(
     dp: Optional[int] = None,
     tp: int = 1,
+    sp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a (dp, tp) mesh over the given (default: all) devices.
+    """Build a (dp[, sp], tp) mesh over the given (default: all) devices.
 
-    ``dp=None`` uses every device not consumed by ``tp``.
+    ``dp=None`` uses every device not consumed by ``sp * tp``. ``sp`` is
+    the sequence-parallel axis: the m/z axis of U-Net activations shards
+    over it (XLA inserts conv halo exchanges), for windows too large for
+    one chip's HBM. When ``sp == 1`` the mesh stays 2-axis for backward
+    compatibility.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
-    if tp < 1 or n % tp != 0:
-        raise ValueError(f"tp={tp} must divide device count {n}")
+    if tp < 1 or sp < 1 or n % (tp * sp) != 0:
+        raise ValueError(f"sp*tp={sp}*{tp} must divide device count {n}")
     if dp is None:
-        dp = n // tp
-    if dp * tp != n:
-        raise ValueError(f"dp*tp = {dp}*{tp} != {n} devices")
-    dev_array = np.asarray(devices).reshape(dp, tp)
-    return Mesh(dev_array, ("dp", "tp"))
+        dp = n // (tp * sp)
+    if dp * sp * tp != n:
+        raise ValueError(f"dp*sp*tp = {dp}*{sp}*{tp} != {n} devices")
+    if sp == 1:
+        dev_array = np.asarray(devices).reshape(dp, tp)
+        return Mesh(dev_array, ("dp", "tp"))
+    dev_array = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(dev_array, ("dp", "sp", "tp"))
 
 
 def mesh_axis_sizes(mesh: Optional[Mesh]) -> Dict[str, int]:

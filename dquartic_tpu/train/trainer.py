@@ -106,18 +106,20 @@ class Trainer:
 
         # Plan shardings from shapes only, then materialize directly into
         # the sharded layout so no single host/device ever holds the full
-        # parameter set.
-        abstract = jax.eval_shape(
-            lambda: self._fresh_state(self.init_params(example_batch))
-        )
-        self._state_sharding = shardings_for_tree(
-            abstract, self.mesh, min_tp_features=self.tp_min_features
-        )
-        init_fn = jax.jit(
-            lambda: self._fresh_state(self.init_params(example_batch)),
-            out_shardings=self._state_sharding,
-        )
-        return init_fn()
+        # parameter set. The mesh context makes bare-PartitionSpec
+        # sharding constraints inside the model resolvable.
+        with jax.set_mesh(self.mesh):
+            abstract = jax.eval_shape(
+                lambda: self._fresh_state(self.init_params(example_batch))
+            )
+            self._state_sharding = shardings_for_tree(
+                abstract, self.mesh, min_tp_features=self.tp_min_features
+            )
+            init_fn = jax.jit(
+                lambda: self._fresh_state(self.init_params(example_batch)),
+                out_shardings=self._state_sharding,
+            )
+            return init_fn()
 
     def num_parameters(self, state: TrainState) -> int:
         return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
@@ -168,12 +170,21 @@ class Trainer:
 
         if self.mesh is not None:
             rep = replicated_sharding(self.mesh)
-            return jax.jit(
+            jitted = jax.jit(
                 step_fn,
                 donate_argnums=(0,),
                 in_shardings=(self._state_sharding, None, rep, rep),
                 out_shardings=(self._state_sharding, rep),
             )
+
+            # Models may carry bare-PartitionSpec sharding constraints
+            # (e.g. UNet1d.activation_sharding); those resolve against the
+            # ambient mesh.
+            def with_mesh(*args):
+                with jax.set_mesh(self.mesh):
+                    return jitted(*args)
+
+            return with_mesh
         return jax.jit(step_fn, donate_argnums=(0,))
 
     @property
