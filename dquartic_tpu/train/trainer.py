@@ -61,6 +61,7 @@ class Trainer:
         seed: int = 0,
         sync_every_batch: bool = False,
         tp_min_features: int = 2048,
+        checkpoint_backend: str = "msgpack",
     ):
         self.model = model
         self.process = process
@@ -73,6 +74,14 @@ class Trainer:
         self.base_key = jax.random.PRNGKey(seed)
         self.sync_every_batch = sync_every_batch
         self.tp_min_features = tp_min_features
+        if checkpoint_backend not in ("msgpack", "orbax"):
+            raise ValueError(f"Unknown checkpoint_backend: {checkpoint_backend!r}")
+        self.checkpoint_backend = checkpoint_backend
+        self._orbax = None
+        if checkpoint_backend == "orbax":
+            from .orbax_ckpt import OrbaxCheckpointBackend
+
+            self._orbax = OrbaxCheckpointBackend()
         self._train_step = None
         self._state_sharding = None
 
@@ -230,7 +239,12 @@ class Trainer:
             "best_loss": np.float64("inf"),
             "state": jax.tree_util.tree_map(lambda x: x, state),
         }
-        payload, start_epoch, best_loss, resumed = restore_or_init(checkpoint_path, payload)
+        if self._orbax is not None:
+            payload, start_epoch, best_loss, resumed = self._orbax.restore_or_init(
+                checkpoint_path, payload
+            )
+        else:
+            payload, start_epoch, best_loss, resumed = restore_or_init(checkpoint_path, payload)
         if resumed:
             # The stored epoch is the last *completed* one; continue after it.
             # (The reference restarts AT the stored epoch and re-runs it,
@@ -287,8 +301,13 @@ class Trainer:
             print(f"[Training] Epoch={epoch + 1}, lr={float(lr)}, loss={avg_loss}")
 
             # ---- checkpoints (latest every epoch, best on improvement) --
+            latest = (
+                self._orbax.latest_path_for(checkpoint_path)
+                if self._orbax is not None
+                else latest_path_for(checkpoint_path)
+            )
             if (epoch + 1) % checkpoint_every_n_epochs == 0 or epoch == epochs - 1:
-                self._save(latest_path_for(checkpoint_path), epoch, avg_loss, state)
+                self._save(latest, epoch, avg_loss, state)
             if avg_loss < best_loss:
                 best_loss = avg_loss
                 best_epoch = epoch + 1
@@ -301,6 +320,8 @@ class Trainer:
                 print(f"Training stopped at epoch {epoch}")
                 break
 
+        if self._orbax is not None:
+            self._orbax.wait()  # flush the last async save before returning
         print(f"Best model checkpoint saved at epoch {best_epoch} with loss: {best_loss:.6f}")
         return state
 
@@ -310,4 +331,7 @@ class Trainer:
             "best_loss": np.float64(loss),
             "state": state,
         }
-        save_checkpoint(path, payload)
+        if self._orbax is not None:
+            self._orbax.save(path, payload)
+        else:
+            save_checkpoint(path, payload)

@@ -192,3 +192,21 @@ def test_loss_decreases_on_constant_target(tmp_path):
         checkpoint_path=str(tmp_path / "c" / "m.ckpt"), checkpoint_every_n_epochs=100,
     )
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_orbax_checkpoint_backend(tiny_setup, tmp_path):
+    """Orbax backend: async latest/best saves + resume."""
+    pytest.importorskip("orbax.checkpoint")
+    trainer, batches, _ = tiny_setup
+    trainer_o = Trainer(trainer.model, trainer.process, seed=0, checkpoint_backend="orbax")
+    ckpt = str(tmp_path / "ock" / "best_model.ckpt")
+    trainer_o.train(batches, epochs=2, warmup_epochs=0, learning_rate=1e-3, checkpoint_path=ckpt)
+    assert os.path.exists(ckpt)  # best
+    assert os.path.exists(trainer_o._orbax.latest_path_for(ckpt))
+
+    # resume: 2 more epochs continue the counter
+    trainer_o2 = Trainer(trainer.model, trainer.process, seed=0, checkpoint_backend="orbax")
+    state = trainer_o2.train(
+        batches, epochs=4, warmup_epochs=0, learning_rate=1e-3, checkpoint_path=ckpt
+    )
+    assert int(state.step) == 4 * len(batches)
