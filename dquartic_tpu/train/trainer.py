@@ -278,7 +278,10 @@ class Trainer:
                     val = float(metrics["loss"])
                     self.callback_handler.batch_callback(batch_idx, val)
                     if self.logger is not None:
-                        self.logger.log({"batch/train_loss": val, "batch": batch_idx + epoch * n_batches})
+                        epoch_len = len(dataset) if hasattr(dataset, "__len__") else n_batches
+                        self.logger.log(
+                            {"batch/train_loss": val, "batch": batch_idx + epoch * epoch_len}
+                        )
 
             # One host sync per epoch.
             losses = [float(x) for x in jax.device_get(losses)]
