@@ -46,16 +46,17 @@ def _make_batch(b, rt, mz, seed=0):
 
 
 def _sync(out):
-    """Force completion: device->host readback of one scalar-ish leaf.
+    """Force completion with a 4-byte readback.
 
     ``block_until_ready`` alone is not trusted on experimental PJRT
-    platforms; fetching bytes cannot lie."""
+    platforms, and a full ``device_get`` would drag the whole tensor
+    through the (slow) relay link — so reduce on device and fetch one
+    scalar, which depends on every element."""
     import jax
+    import jax.numpy as jnp
 
-    leaves = jax.tree_util.tree_leaves(out)
-    import numpy as _np
-
-    return _np.asarray(jax.device_get(leaves[0])).ravel()[:1]
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf))
 
 
 def _time_fn(fn, warmup=3, iters=None):

@@ -26,12 +26,13 @@ def main():
     g = jnp.ones((C,), jnp.float32)
 
     def timeit(fn, n=20):
+        sync = lambda o: float(jnp.sum(jax.tree_util.tree_leaves(o)[0]))
         out = fn()
-        np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0])).ravel()[:1]
+        sync(out)
         t0 = time.perf_counter()
         for _ in range(n):
             out = fn()
-        np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0])).ravel()[:1]
+        sync(out)
         return (time.perf_counter() - t0) / n * 1000
 
     ref = jax.jit(

@@ -14,13 +14,14 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/dquartic_jax_cache")
 
     def timeit(fn, *args, n=20):
+        sync = lambda o: float(jnp.sum(jax.tree_util.tree_leaves(o)[0]))
         out = fn(*args)
-        np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0])).ravel()[:1]
+        sync(out)
         t0 = time.perf_counter()
         for _ in range(n):
             out = fn(*args)
-        np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0])).ravel()[:1]
-        return (time.perf_counter() - t0) / n
+        sync(out)
+        return (time.perf_counter() - t0)
 
     # HBM bandwidth: big f32 add (read 2N, write N)
     for size_mb in (256, 1024):
