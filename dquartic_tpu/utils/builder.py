@@ -71,12 +71,14 @@ def build_mesh(config: Dict[str, Any], batch_size: Optional[int] = None):
     degree that divides the batch size (idle devices are left out rather
     than producing an invalid batch sharding)."""
     mesh_cfg = config["tpu"]["mesh"]
-    dp, tp = mesh_cfg.get("dp"), mesh_cfg.get("tp", 1) or 1
+    dp = mesh_cfg.get("dp")
+    sp = mesh_cfg.get("sp", 1) or 1
+    tp = mesh_cfg.get("tp", 1) or 1
     import jax
 
     n = len(jax.devices())
     if dp is None:
-        avail = max(1, n // tp)
+        avail = max(1, n // (sp * tp))
         if batch_size is None:
             dp = avail
         else:
@@ -85,11 +87,11 @@ def build_mesh(config: Dict[str, Any], batch_size: Optional[int] = None):
                 if batch_size % d == 0:
                     dp = d
                     break
-    if dp * tp == 1:
+    if dp * sp * tp == 1:
         return None  # single device: plain jit, no mesh overhead
-    if dp * tp > n:
-        raise ValueError(f"mesh dp*tp={dp * tp} exceeds {n} devices")
-    return make_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
+    if dp * sp * tp > n:
+        raise ValueError(f"mesh dp*sp*tp={dp * sp * tp} exceeds {n} devices")
+    return make_mesh(dp=dp, sp=sp, tp=tp, devices=jax.devices()[: dp * sp * tp])
 
 
 def build_dataset(config: Dict[str, Any], seed: int = 0):
@@ -112,6 +114,14 @@ def build_trainer(
     process = build_process(config)
     if mesh is None:
         mesh = build_mesh(config, batch_size=config["model"]["batch_size"])
+    # Sequence-parallel meshes shard the m/z activations of the U-Net.
+    if (
+        mesh is not None
+        and "sp" in getattr(mesh, "axis_names", ())
+        and hasattr(model, "activation_sharding")
+        and model.activation_sharding is None
+    ):
+        model = model.clone(activation_sharding=("dp", "sp"))
     if logger is None:
         w = config.get("wandb", {})
         logger = make_logger(

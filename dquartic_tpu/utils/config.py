@@ -14,7 +14,7 @@ import json
 from typing import Any, Dict
 
 TPU_DEFAULTS: Dict[str, Any] = {
-    "mesh": {"dp": None, "tp": 1},
+    "mesh": {"dp": None, "sp": 1, "tp": 1},
     "compute_dtype": "float32",
     "ema_decay": 0.999,
     "attn_impl": "auto",
