@@ -126,8 +126,19 @@ class LinearAttention(nn.Module):
 
         impl = self.impl
         if impl == "auto":
-            on_tpu = jax.default_backend() == "tpu"
-            impl = "pallas" if (on_tpu and x.shape[1] >= 2048) else "xla"
+            import os
+
+            # Measured tradeoff (BENCH_NOTES.md): standalone, the fused
+            # kernel is ~3x faster than XLA; embedded in the full U-Net
+            # program, per-pallas-call launch overhead on the current
+            # tunneled platform outweighs the fusion win, so "auto"
+            # resolves to the XLA path. On directly-attached TPUs set
+            # DQUARTIC_LINATTN_IMPL=pallas (or impl="pallas") to flip.
+            env = os.environ.get("DQUARTIC_LINATTN_IMPL")
+            if env in ("pallas", "xla"):
+                impl = env if (env == "xla" or x.shape[1] >= 2048) else "xla"
+            else:
+                impl = "xla"
 
         if impl == "pallas":
             from ..ops.linear_attention import fused_linear_attention
