@@ -169,3 +169,60 @@ def test_viz_hook(tmp_path):
         out_dir=str(tmp_path / "plots2"),
     )
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_cli_generate_train_data(tmp_path):
+    """CLI data generation end-to-end on a synthetic sqMass file."""
+    import sqlite3
+    import struct
+    import zlib
+
+    path = tmp_path / "run.sqMass"
+    conn = sqlite3.connect(path)
+    cur = conn.cursor()
+    cur.executescript(
+        """
+        CREATE TABLE SPECTRUM (ID INTEGER PRIMARY KEY, RETENTION_TIME REAL,
+                               NATIVE_ID TEXT, MSLEVEL INTEGER);
+        CREATE TABLE PRECURSOR (SPECTRUM_ID INTEGER, ISOLATION_TARGET REAL,
+                                ISOLATION_LOWER REAL, ISOLATION_UPPER REAL);
+        CREATE TABLE DATA (SPECTRUM_ID INTEGER, COMPRESSION INTEGER,
+                           DATA_TYPE INTEGER, DATA BLOB);
+        """
+    )
+    rng = np.random.default_rng(0)
+
+    def pack(values):
+        return zlib.compress(struct.pack(f"<{len(values)}d", *values))
+
+    sid = 0
+    for i in range(6):
+        rt = 10.0 + i
+        sid += 1
+        cur.execute("INSERT INTO SPECTRUM VALUES (?,?,?,?)", (sid, rt, f"m1_{i}", 1))
+        cur.execute("INSERT INTO DATA VALUES (?,?,?,?)", (sid, 1, 0, pack(np.linspace(498, 502, 10))))
+        cur.execute("INSERT INTO DATA VALUES (?,?,?,?)", (sid, 1, 1, pack(rng.uniform(1, 100, 10))))
+        sid += 1
+        cur.execute("INSERT INTO SPECTRUM VALUES (?,?,?,?)", (sid, rt + 0.5, f"m2_{i}", 2))
+        cur.execute("INSERT INTO PRECURSOR VALUES (?,?,?,?)", (sid, 500.0, 2.0, 2.0))
+        cur.execute("INSERT INTO DATA VALUES (?,?,?,?)", (sid, 1, 0, pack(np.sort(rng.uniform(100, 1000, 30)))))
+        cur.execute("INSERT INTO DATA VALUES (?,?,?,?)", (sid, 1, 1, pack(rng.uniform(1, 1000, 30))))
+    conn.commit()
+    conn.close()
+
+    out = tmp_path / "slices.parquet"
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        [
+            "generate-train-data",
+            "--window-size", "4", "--sliding-step", "2",
+            "--ms1-fixed-mz-size", "6", "--ms2-fixed-mz-size", "12",
+            str(tmp_path / "run.sqMass"), str(out),
+        ],
+    )
+    assert res.exit_code == 0, res.output
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(out)
+    assert table.num_rows > 0

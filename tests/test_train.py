@@ -210,3 +210,40 @@ def test_orbax_checkpoint_backend(tiny_setup, tmp_path):
         batches, epochs=4, warmup_epochs=0, learning_rate=1e-3, checkpoint_path=ckpt
     )
     assert int(state.step) == 4 * len(batches)
+
+
+def test_custom_transformer_trainer_e2e(tmp_path):
+    """The legacy denoiser trains through the same runtime."""
+    from dquartic_tpu.models import CustomTransformer
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "ms2_1": rng.uniform(0, 1, (2, 4, 32)).astype(np.float32),
+        "ms1_1": rng.uniform(0, 1, (2, 4)).astype(np.float32),
+        "ms2_2": rng.uniform(0, 1, (2, 4, 32)).astype(np.float32),
+        "ms1_2": rng.uniform(0, 1, (2, 4)).astype(np.float32),
+    }
+
+    class Batches:
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            yield batch
+            yield batch
+
+    model = CustomTransformer(input_dim=32, hidden_dim=16, num_heads=2, num_layers=1)
+    process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
+    trainer = Trainer(model, process, seed=0)
+    state = trainer.train(
+        Batches(), epochs=2, warmup_epochs=1, learning_rate=1e-3,
+        checkpoint_path=str(tmp_path / "ct" / "m.ckpt"),
+    )
+    assert int(state.step) == 4
+
+    sampler = DDIMSampler(model, process)
+    x_t = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 32))
+    ms2 = jnp.asarray(batch["ms2_1"][:1])
+    ms1 = jnp.asarray(batch["ms1_1"][:1])
+    out, _ = sampler.sample(state.params, x_t, ms2, ms1, num_steps=3)
+    assert np.isfinite(np.asarray(out)).all()
