@@ -284,3 +284,134 @@ def test_custom_transformer_full_conversion_runs():
     assert ref_shapes == conv_shapes
     out = model.apply(params, x, t, None, ms1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_upsample_matches_torch():
+    """nearest x2 + conv3 (unet1d.py:82-96)."""
+    from dquartic_tpu.models.layers import Upsample
+
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=(4, 2, 3)).astype(np.float32)
+    b = rng.normal(size=(4,)).astype(np.float32)
+    x = rng.normal(size=(1, 2, 6)).astype(np.float32)  # torch (B, C, L)
+
+    with torch.no_grad():
+        up = torch.nn.functional.interpolate(torch.tensor(x), scale_factor=2, mode="nearest")
+        expected = torch.nn.functional.conv1d(up, torch.tensor(w), torch.tensor(b), padding=1).numpy()
+
+    m = Upsample(4)
+    params = {"params": {"conv": {"kernel": jnp.asarray(np.transpose(w, (2, 1, 0))), "bias": jnp.asarray(b)}}}
+    out = m.apply(params, jnp.asarray(np.transpose(x, (0, 2, 1))))
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 2, 1)), expected, rtol=1e-4, atol=1e-5)
+
+
+def test_gelu_exact_matches_torch():
+    x = np.linspace(-4, 4, 101).astype(np.float32)
+    import flax.linen as nn
+
+    ours = np.asarray(nn.gelu(jnp.asarray(x), approximate=False))
+    theirs = torch.nn.functional.gelu(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_sinusoidal_emb_matches_torch_formula():
+    from dquartic_tpu.models.layers import sinusoidal_pos_emb
+
+    dim, theta = 8, 10000.0
+    t = np.array([0.0, 1.0, 500.0, 999.0], np.float32)
+    half = dim // 2
+    emb = np.log(theta) / (half - 1)
+    freqs = np.exp(np.arange(half) * -emb)
+    args = t[:, None] * freqs[None, :]
+    expected = np.concatenate([np.sin(args), np.cos(args)], axis=-1)
+    out = np.asarray(sinusoidal_pos_emb(jnp.asarray(t), dim, theta))
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_conditional_scale_shift_matches_torch_formula():
+    from dquartic_tpu.models.layers import ConditionalScaleShift
+
+    rng = np.random.default_rng(6)
+    dim, tdim = 2, 8
+    w = rng.normal(size=(2 * dim, tdim)).astype(np.float32)
+    b = rng.normal(size=(2 * dim,)).astype(np.float32)
+    x = rng.normal(size=(3, 5, dim)).astype(np.float32)
+    t = rng.normal(size=(3, tdim)).astype(np.float32)
+
+    with torch.no_grad():
+        h = torch.nn.functional.linear(
+            torch.nn.functional.silu(torch.tensor(t)), torch.tensor(w), torch.tensor(b)
+        )
+        scale, shift = h.chunk(2, dim=-1)
+        expected = (
+            torch.tensor(x) * (scale[:, None, :] + 1) + shift[:, None, :]
+        ).numpy()
+
+    m = ConditionalScaleShift(dim)
+    params = {"params": {"to_scale_shift": {"kernel": jnp.asarray(w.T), "bias": jnp.asarray(b)}}}
+    out = m.apply(params, jnp.asarray(x), jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-5)
+
+
+def test_cli_convert_checkpoint_end_to_end(tmp_path):
+    """torch.save -> CLI convert -> our predict path."""
+    import json
+
+    from click.testing import CliRunner
+
+    from dquartic_tpu.cli import cli as cli_group
+
+    rng = np.random.default_rng(7)
+    sd = {
+        k: torch.tensor(rng.normal(size=s).astype(np.float32) * 0.1)
+        for k, s in _tiny_unet_torch_shapes().items()
+    }
+    torch.save(
+        {"epoch": 5, "model_state_dict": sd, "optimizer_state_dict": {}, "best_loss": 0.42},
+        tmp_path / "ref.ckpt",
+    )
+
+    cfg = {
+        "data": {"normalize": "minmax"},
+        "model": {
+            "checkpoint_path": "x",
+            "num_epochs": 1, "warmup_epochs": 0, "batch_size": 1,
+            "learning_rate": 1e-4, "num_timesteps": 10,
+            "beta_schedule_type": "cosine", "pred_type": "eps",
+            "auto_normalize": True, "ms1_loss_weight": 0.0,
+            "use_model": "UNet1d",
+            "CustomTransformer": {"input_dim": 16, "hidden_dim": 16, "num_heads": 2, "num_layers": 1},
+            "UNet1d": {
+                "dim": 4, "channels": 1, "dim_mults": [1, 2], "conditional": True,
+                "init_cond_channels": 1, "attn_cond_channels": 1,
+                "tfer_dim_mult": 620, "downsample_dim": 16, "simple": True,
+            },
+        },
+        "wandb": {"use_wandb": False},
+        "threads": 1,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+
+    runner = CliRunner()
+    res = runner.invoke(
+        cli_group,
+        [
+            "convert-checkpoint",
+            str(tmp_path / "ref.ckpt"),
+            str(tmp_path / "converted.ckpt"),
+            str(tmp_path / "config.json"),
+        ],
+    )
+    assert res.exit_code == 0, res.output
+
+    from dquartic_tpu.train.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(str(tmp_path / "converted.ckpt"))
+    assert int(ckpt["epoch"]) == 5
+    assert float(ckpt["best_loss"]) == pytest.approx(0.42)
+
+    model = UNet1d(**TINY)
+    params = {"params": ckpt["state"]["params"]["params"]}
+    x = jnp.ones((1, 4, 16))
+    out = model.apply(params, x, jnp.zeros((1,), jnp.int32), x, jnp.ones((1, 4)))
+    assert np.isfinite(np.asarray(out)).all()
