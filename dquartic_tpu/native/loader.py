@@ -23,9 +23,12 @@ _tried = False
 
 
 def _build() -> bool:
+    # Compile to a per-pid temp path, then atomically rename: concurrent
+    # processes may race to build and must never load a half-written .so.
+    tmp = f"{_SO_PATH}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        _SRC, "-o", _SO_PATH, "-lz", "-lpthread",
+        _SRC, "-o", tmp, "-lz", "-lpthread",
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
@@ -33,9 +36,18 @@ def _build() -> bool:
             # retry without -march=native (portability)
             cmd.remove("-march=native")
             res = subprocess.run(cmd, capture_output=True, timeout=120)
-        return res.returncode == 0 and os.path.exists(_SO_PATH)
+        if res.returncode != 0 or not os.path.exists(tmp):
+            return False
+        os.replace(tmp, _SO_PATH)
+        return True
     except (OSError, subprocess.SubprocessError):
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:

@@ -247,3 +247,59 @@ def test_custom_transformer_trainer_e2e(tmp_path):
     ms1 = jnp.asarray(batch["ms1_1"][:1])
     out, _ = sampler.sample(state.params, x_t, ms2, ms1, num_steps=3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_training_determinism(tmp_path):
+    """Same seed + same data order => bitwise-identical losses."""
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "ms2_1": rng.uniform(0, 1, (2, 4, 16)).astype(np.float32),
+        "ms1_1": rng.uniform(0, 1, (2, 4)).astype(np.float32),
+        "ms2_2": rng.uniform(0, 1, (2, 4, 16)).astype(np.float32),
+        "ms1_2": rng.uniform(0, 1, (2, 4)).astype(np.float32),
+    }
+
+    class Batches:
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            yield batch
+            yield batch
+
+    def run(tag):
+        model = UNet1d(**TINY_MODEL)
+        process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
+        trainer = Trainer(model, process, seed=123)
+        losses = []
+
+        class Rec(CallbackHandler):
+            def batch_callback(self, b, loss):
+                losses.append(loss)
+
+        trainer.callback_handler = Rec()
+        trainer.train(
+            Batches(), epochs=2, warmup_epochs=0, learning_rate=1e-3,
+            checkpoint_path=str(tmp_path / tag / "m.ckpt"),
+        )
+        return losses
+
+    a, b = run("a"), run("b")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dataset_sampling_determinism(tmp_path):
+    rng = np.random.default_rng(0)
+    np.save(tmp_path / "m2.npy", rng.uniform(0, 1, (10, 4, 8)).astype(np.float32))
+    np.save(tmp_path / "m1.npy", rng.uniform(0, 1, (10, 4)).astype(np.float32))
+
+    def draws(seed):
+        ds = DIAMSDataset(
+            ms2_file=str(tmp_path / "m2.npy"), ms1_file=str(tmp_path / "m1.npy"),
+            normalize="minmax", seed=seed,
+        )
+        return [ds._draw_indices() for _ in range(5)]
+
+    assert draws(7) == draws(7)
+    assert draws(7) != draws(8)
