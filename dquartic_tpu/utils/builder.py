@@ -26,29 +26,23 @@ def build_model(config: Dict[str, Any]):
     dtype = _DTYPES[config["tpu"]["compute_dtype"]]
     attn_impl = config["tpu"]["attn_impl"]
     if m["use_model"] == "UNet1d":
-        u = m["UNet1d"]
-        return UNet1d(
-            dim=u["dim"],
-            channels=u["channels"],
-            dim_mults=tuple(u["dim_mults"]),
-            conditional=u["conditional"],
-            init_cond_channels=u["init_cond_channels"],
-            attn_cond_channels=u["attn_cond_channels"],
-            tfer_dim_mult=u["tfer_dim_mult"],
-            downsample_dim=u["downsample_dim"],
-            simple=u["simple"],
-            dtype=dtype,
-            attn_impl=attn_impl,
-        )
+        u = dict(m["UNet1d"])
+        if "dim_mults" in u:
+            u["dim_mults"] = tuple(u["dim_mults"])
+        # Optional fields beyond the reference config subset (dropout,
+        # attn_heads, remat_blocks, pos_output_only, ...) pass through.
+        valid = set(UNet1d.__dataclass_fields__)
+        unknown = set(u) - valid
+        if unknown:
+            raise ValueError(f"Unknown UNet1d config keys: {sorted(unknown)}")
+        return UNet1d(**u, dtype=dtype, attn_impl=attn_impl)
     if m["use_model"] == "CustomTransformer":
-        c = m["CustomTransformer"]
-        return CustomTransformer(
-            input_dim=c["input_dim"],
-            hidden_dim=c["hidden_dim"],
-            num_heads=c["num_heads"],
-            num_layers=c["num_layers"],
-            dtype=dtype,
-        )
+        c = dict(m["CustomTransformer"])
+        valid = set(CustomTransformer.__dataclass_fields__)
+        unknown = set(c) - valid
+        if unknown:
+            raise ValueError(f"Unknown CustomTransformer config keys: {sorted(unknown)}")
+        return CustomTransformer(**c, dtype=dtype)
     raise ValueError(f"Invalid model class: {m['use_model']}")
 
 
@@ -63,6 +57,10 @@ def build_process(config: Dict[str, Any]) -> DDIMProcess:
         schedule=schedule,
         auto_normalize=m["auto_normalize"],
         ms1_loss_weight=m["ms1_loss_weight"],
+        # reference quirk flag: alpha_bars[t-1] neighbor stepping
+        # (core/diffusion.py); set tpu.ddim_proper_stepping for the
+        # textbook sub-sampled DDIM update.
+        parity_neighbor_stepping=not config["tpu"].get("ddim_proper_stepping", False),
     )
 
 

@@ -106,3 +106,50 @@ def test_global_batch_from_local_single_process():
     out = global_batch_from_local(batch, mesh)
     np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
     assert "dp" in str(out["x"].sharding.spec)
+
+
+def test_build_model_passthrough_and_validation(tmp_path):
+    from dquartic_tpu.utils.config import _apply_defaults
+
+    cfg = _apply_defaults(
+        {
+            "model": {
+                "use_model": "UNet1d",
+                "num_timesteps": 10,
+                "beta_schedule_type": "cosine",
+                "pred_type": "eps",
+                "auto_normalize": True,
+                "ms1_loss_weight": 0.0,
+                "UNet1d": {
+                    "dim": 4, "channels": 1, "dim_mults": [1, 2],
+                    "conditional": True, "init_cond_channels": 1,
+                    "attn_cond_channels": 1, "downsample_dim": 16,
+                    "simple": True,
+                    "remat_blocks": True, "attn_heads": 2, "dropout": 0.0,
+                },
+            },
+        }
+    )
+    model = build_model(cfg)
+    assert model.remat_blocks is True and model.attn_heads == 2
+
+    cfg["model"]["UNet1d"]["bogus_key"] = 1
+    with pytest.raises(ValueError, match="bogus_key"):
+        build_model(cfg)
+
+
+def test_build_process_stepping_flag():
+    from dquartic_tpu.utils.config import _apply_defaults
+
+    base = {
+        "model": {
+            "num_timesteps": 10, "beta_schedule_type": "cosine",
+            "pred_type": "eps", "auto_normalize": True, "ms1_loss_weight": 0.0,
+        }
+    }
+    p1 = build_process(_apply_defaults(dict(base)))
+    assert p1.parity_neighbor_stepping is True
+    cfg2 = _apply_defaults(dict(base))
+    cfg2["tpu"]["ddim_proper_stepping"] = True
+    p2 = build_process(cfg2)
+    assert p2.parity_neighbor_stepping is False
