@@ -10,13 +10,17 @@ steps in 1h40m on a single SLURM GPU (BASELINE.md), i.e. ~61.2 ms/step
 including data loading. ``vs_baseline`` is the speedup factor
 (baseline_ms / measured_ms; higher is better).
 
-Secondary modes (numbers reported to stderr when run as a suite):
-  * ``unet_sample``  — canonical UNet1d, 50-step DDIM reverse pass,
-    ms per (34, 40000) MS2 window (BASELINE.json headline; the reference
-    publishes no number for it, vs_baseline=1.0 by definition).
-  * ``unet_train``   — canonical UNet1d train step in bf16.
+Secondary modes:
+  * ``unet_sample``          — canonical 1.2B-param UNet1d, 50-step DDIM
+    reverse pass, ms per (34, 40000) MS2 window (BASELINE.json headline;
+    the reference publishes no number, vs_baseline=1.0 by definition).
+  * ``unet_sample_xla``      — same, linear attention forced to XLA.
+  * ``unet_sample_batched``  — same at batch 8.
+  * ``unet_train``           — canonical UNet1d train step
+    (bf16 + remat + factored second moment to fit one 16 GB chip).
 
 Select with BENCH_MODE env var; BENCH_STEPS overrides timing iterations.
+Measured results + chip calibration live in BENCH_NOTES.md.
 """
 
 from __future__ import annotations
@@ -175,7 +179,6 @@ def bench_unet_train():
 
     from dquartic_tpu.core import DDIMProcess, make_schedule
     from dquartic_tpu.train import Trainer
-    from dquartic_tpu.train.optim import make_optimizer
 
     # Single-chip training of the 1.2B-param canonical model needs the
     # TPU-idiomatic memory recipe: rematerialized blocks (activations) and

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import datetime
 import os
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd

@@ -26,8 +26,6 @@ last axis and heads channel-major inside each H block; w_out (H, C).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -49,10 +47,6 @@ def _vmem_spec(block_shape, index_map=None):
 
 
 def _scratch_vmem(shape, dtype):
-    if _HAS_PLTPU:
-        return pltpu.VMEM(shape, dtype)
-    from jax.experimental.pallas import MemoryRef  # fallback, interpret mode
-
     return pltpu.VMEM(shape, dtype)
 
 

@@ -12,7 +12,7 @@ from utils.logging records the table.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
