@@ -220,7 +220,9 @@ MODES = {
     "transformer_train": bench_transformer_train,
     "unet_sample": bench_unet_sample,
     "unet_sample_xla": lambda: bench_unet_sample(linear_attn_impl="xla", tag="xla linear-attn"),
-    "unet_sample_batched": lambda: bench_unet_sample(batch=8, tag="pallas linear-attn"),
+    # batch 8 OOMs 16 GB HBM (the XLA linear-attn qkv expansion scales
+    # with rows); batch 4 is the largest single-chip windowed batch.
+    "unet_sample_batched": lambda: bench_unet_sample(batch=4),
     "unet_train": bench_unet_train,
 }
 
