@@ -220,9 +220,10 @@ MODES = {
     "transformer_train": bench_transformer_train,
     "unet_sample": bench_unet_sample,
     "unet_sample_xla": lambda: bench_unet_sample(linear_attn_impl="xla", tag="xla linear-attn"),
-    # batch 8 OOMs 16 GB HBM (the XLA linear-attn qkv expansion scales
-    # with rows); batch 4 is the largest single-chip windowed batch.
-    "unet_sample_batched": lambda: bench_unet_sample(batch=4),
+    # the XLA linear-attn qkv expansion scales with rows: batch 8 needs
+    # 20.3 GB and batch 4 still trips runtime HBM limits on a 16 GB chip;
+    # batch 2 is the safe single-chip windowed batch.
+    "unet_sample_batched": lambda: bench_unet_sample(batch=2),
     "unet_train": bench_unet_train,
 }
 
