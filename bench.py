@@ -15,7 +15,7 @@ Secondary modes:
     reverse pass, ms per (34, 40000) MS2 window (BASELINE.json headline;
     the reference publishes no number, vs_baseline=1.0 by definition).
   * ``unet_sample_xla``      — same, linear attention forced to XLA.
-  * ``unet_sample_batched``  — same at batch 8.
+  * ``unet_sample_batched``  — same at batch 2 (largest safe single-chip batch).
   * ``unet_train``           — canonical UNet1d train step
     (bf16 + remat + factored second moment to fit one 16 GB chip).
 
