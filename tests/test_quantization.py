@@ -89,3 +89,25 @@ def test_stochastic_rounding_unbiased():
         qs.append(np.asarray(q, np.float32) * np.asarray(s))
     mean = np.mean(qs)
     assert abs(mean - 0.25) < 0.01
+
+
+def test_quantized_params_through_sampler():
+    """int8-dequantized weights drive the compiled DDIM sampler and stay
+    close to the f32 result."""
+    import jax
+    from dquartic_tpu.core import DDIMProcess, make_schedule
+    from dquartic_tpu.infer import DDIMSampler
+
+    model, params, (x, t, ic, ac) = _init()
+    process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
+    sampler = DDIMSampler(model, process)
+    noise = jax.random.normal(jax.random.PRNGKey(0), x.shape)
+
+    out_ref, _ = sampler.sample(params, noise, x, ac, num_steps=3)
+    deq = dequantize_params(quantize_params(params, min_size=1024))
+    out_q, _ = sampler.sample(deq, noise, x, ac, num_steps=3)
+
+    ref = np.asarray(out_ref)
+    dq = np.asarray(out_q)
+    rel = np.abs(dq - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.1
