@@ -153,14 +153,23 @@ class LinearAttention(nn.Module):
         q, k, v = (_split_heads(t, self.heads) for t in (q, k, v))  # (b, h, n, c)
 
         # Reference softmax axes in (b, h, c, n) layout: q over c, k over n.
+        # Softmax math runs in f32, but the (b, h, n, d) results are
+        # materialized in the compute dtype before the contractions: dots
+        # don't fuse producers on TPU, so these two tensors dominate the
+        # op's HBM traffic (profile_unet.py) — bf16 halves it. The MXU
+        # still accumulates the n-axis reductions in f32.
         q = nn.softmax(q.astype(jnp.float32), axis=-1)  # over c (feature)
         k = nn.softmax(k.astype(jnp.float32), axis=-2)  # over n (sequence)
-        q = q * (self.dim_head**-0.5)
+        q = (q * (self.dim_head**-0.5)).astype(self.dtype)
+        k = k.astype(self.dtype)
 
         context = jnp.einsum(
-            "bhnd,bhne->bhde", k, v.astype(jnp.float32), preferred_element_type=jnp.float32
+            "bhnd,bhne->bhde", k, v, preferred_element_type=jnp.float32
         )
-        out = jnp.einsum("bhde,bhnd->bhne", context, q, preferred_element_type=jnp.float32)
+        out = jnp.einsum(
+            "bhde,bhnd->bhne", context.astype(self.dtype), q,
+            preferred_element_type=jnp.float32,
+        )
         out = _merge_heads(out.astype(self.dtype))
 
         out = out @ w_out[0].astype(self.dtype) + b_out.astype(self.dtype)
