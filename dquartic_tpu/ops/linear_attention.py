@@ -189,6 +189,125 @@ def _kernel_b(
 
 
 # --------------------------------------------------------------------- #
+# single-call variant: both passes in one pallas_call                    #
+# --------------------------------------------------------------------- #
+
+
+def _kernel_ab(
+    x_ref, wq_ref, wk_ref, wv_ref, wout_ref, bout_ref, g_ref, o_ref,
+    m_ref, s_ref, acc_ref,
+    *, block_n: int, seq_len: int, heads: int, dim_head: int, channels: int,
+):
+    """Grid (B, 2, nb): phase 0 accumulates the context (pass A), phase 1
+    emits outputs (pass B). The context matrix lives in VMEM scratch
+    between phases — one kernel launch, no HBM round trip for ctx."""
+    phase = pl.program_id(1)
+    j = pl.program_id(2)
+    num_blocks = pl.num_programs(2)
+
+    @pl.when((phase == 0) & (j == 0))
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        s_ref[...] = jnp.zeros_like(s_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # (block_n, C)
+
+    @pl.when(phase == 0)
+    def _():
+        k = jnp.dot(x, wk_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32)
+        v = jnp.dot(x, wv_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32)
+        row = j * block_n + jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
+        valid = row < seq_len
+        k = jnp.where(valid, k, _NEG_INF)
+        v = jnp.where(valid, v, 0.0)
+
+        m_old, s_old, acc_old = m_ref[...], s_ref[...], acc_ref[...]
+        m_new = jnp.maximum(m_old, jnp.max(k, axis=0, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(k - m_new)
+        s_new = s_old * alpha + jnp.sum(p, axis=0, keepdims=True)
+        c = jax.lax.dot_general(
+            v, p, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_ref[...] = m_new
+        s_ref[...] = s_new
+        acc_ref[...] = acc_old * alpha + c
+        # output blocks are DMA'd out every grid step; phase-0 visits of an
+        # (b, j) block are overwritten by the phase-1 visit below
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+        @pl.when(j == num_blocks - 1)
+        def _():
+            mask = _head_mask(heads, dim_head)
+            acc_ref[...] = acc_ref[...] / jnp.maximum(s_ref[...], 1e-30) * mask
+
+    @pl.when(phase == 1)
+    def _():
+        q = jnp.dot(x, wq_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32)
+        mask = _head_mask(heads, dim_head)
+        gmax = jnp.max(q, axis=-1, keepdims=True)
+        eq = jnp.exp(q - gmax)
+        ssum = jnp.dot(eq, mask, preferred_element_type=jnp.float32)
+        qn = eq / jnp.maximum(ssum, 1e-30) * (dim_head**-0.5)
+        o = jax.lax.dot_general(
+            qn, acc_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = jnp.dot(o, wout_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32)
+        y = y + bout_ref[...]
+        norm = jnp.sqrt(jnp.sum(jnp.square(y), axis=-1, keepdims=True))
+        y = y / jnp.maximum(norm, 1e-12) * g_ref[...] * (channels**0.5)
+        o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _fused_forward_single(
+    x, w_qkv, w_out, b_out, g, heads, dim_head, block_n, interpret
+):
+    B, N, C = x.shape
+    H = heads * dim_head
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    np_ = _round_up(max(N, block_n), block_n)
+    xp = jnp.pad(x, ((0, 0), (0, np_ - N), (0, 0)))
+    num_blocks = np_ // block_n
+
+    wq = w_qkv[:, :H]
+    wk = w_qkv[:, H : 2 * H]
+    wv = w_qkv[:, 2 * H :]
+    b2 = b_out.reshape(1, C).astype(jnp.float32)
+    g2 = g.reshape(1, C).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _kernel_ab, block_n=block_n, seq_len=N, heads=heads,
+        dim_head=dim_head, channels=C,
+    )
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, np_, C), x.dtype),
+        grid=(B, 2, num_blocks),
+        in_specs=[
+            _vmem_spec((1, block_n, C), lambda i, p, j: (i, j, 0)),
+            _vmem_spec((C, H), lambda i, p, j: (0, 0)),
+            _vmem_spec((C, H), lambda i, p, j: (0, 0)),
+            _vmem_spec((C, H), lambda i, p, j: (0, 0)),
+            _vmem_spec((H, C), lambda i, p, j: (0, 0)),
+            _vmem_spec((1, C), lambda i, p, j: (0, 0)),
+            _vmem_spec((1, C), lambda i, p, j: (0, 0)),
+        ],
+        out_specs=_vmem_spec((1, block_n, C), lambda i, p, j: (i, j, 0)),
+        scratch_shapes=[
+            _scratch_vmem((1, H), jnp.float32),
+            _scratch_vmem((1, H), jnp.float32),
+            _scratch_vmem((H, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, wq, wk, wv, w_out, b2, g2)
+    return y[:, :N, :]
+
+
+# --------------------------------------------------------------------- #
 # wrapper                                                               #
 # --------------------------------------------------------------------- #
 
@@ -265,7 +384,9 @@ _DEFAULT_BLOCK_N = 4096
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _fused(x, w_qkv, w_out, b_out, g, heads, dim_head):
-    return _fused_forward(
+    # Single pallas_call covering both passes: half the kernel-launch
+    # count of the two-call formulation and no HBM round trip for ctx.
+    return _fused_forward_single(
         x, w_qkv, w_out, b_out, g, heads, dim_head, _DEFAULT_BLOCK_N, None
     )
 

@@ -84,3 +84,20 @@ def test_fused_bf16():
     np.testing.assert_allclose(
         np.asarray(out16, np.float32), np.asarray(out32), rtol=5e-2, atol=5e-2
     )
+
+
+@pytest.mark.parametrize("N", [64, 700, 1025])
+def test_single_call_matches_two_call(N):
+    from dquartic_tpu.ops.linear_attention import (
+        _fused_forward,
+        _fused_forward_single,
+    )
+
+    C, heads, dim_head = 8, 4, 32
+    w_qkv, w_out, b_out, g = make_weights(C, heads, dim_head)
+    x = jnp.asarray(np.random.default_rng(9).normal(size=(3, N, C)).astype(np.float32))
+    two = _fused_forward(x, w_qkv, w_out, b_out, g, heads, dim_head, 512, None)
+    one = _fused_forward_single(x, w_qkv, w_out, b_out, g, heads, dim_head, 512, None)
+    np.testing.assert_allclose(np.asarray(one), np.asarray(two), rtol=1e-5, atol=1e-6)
+    ref = linear_attention_reference(x, w_qkv, w_out, b_out, g, heads, dim_head)
+    np.testing.assert_allclose(np.asarray(one), np.asarray(ref), rtol=2e-4, atol=2e-5)
