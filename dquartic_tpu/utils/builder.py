@@ -121,9 +121,13 @@ def build_trainer(
     ):
         model = model.clone(activation_sharding=("dp", "sp"))
     if logger is None:
+        import os
+
         w = config.get("wandb", {})
+        log_dir = os.path.dirname(config["model"].get("checkpoint_path", "")) or "."
         logger = make_logger(
             use_wandb=bool(w.get("use_wandb")),
+            log_dir=log_dir,
             wandb_kwargs=dict(
                 project=w.get("wandb_project"),
                 name=w.get("wandb_name"),
