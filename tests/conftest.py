@@ -27,8 +27,41 @@ if not os.environ.get("DQUARTIC_TESTS_ON_DEVICE"):
     except Exception:  # backend already initialized; tests run where it is
         pass
 
+import jax  # noqa: E402
+
+# Persistent compilation cache: repeat suite runs skip recompiles entirely
+# (first full run pays ~minutes of XLA compiles; later runs are seconds).
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE_DIR", "/tmp/dquartic_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Modules whose tests form the <60 s smoke tier (`pytest -m fast`).
+# Everything else (multi-second XLA compiles: full models, trainer E2E,
+# sharded meshes, torch compat) is auto-marked `slow`.
+_FAST_MODULES = {
+    "test_schedules",
+    "test_diffusion",
+    "test_dataset",
+    "test_sqmass_slices",
+    "test_native",
+    "test_utils",
+    "test_ops",
+    "test_fourier",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        item.add_marker("fast" if mod in _FAST_MODULES else "slow")
 
 
 @pytest.fixture

@@ -415,3 +415,80 @@ def test_cli_convert_checkpoint_end_to_end(tmp_path):
     x = jnp.ones((1, 4, 16))
     out = model.apply(params, x, jnp.zeros((1,), jnp.int32), x, jnp.ones((1, 4)))
     assert np.isfinite(np.asarray(out)).all()
+
+
+# --------------------------------------------------------------------------- #
+# Full-forward parity against the ACTUAL reference torch modules, loaded from
+# /root/reference/dquartic/model by file path (reference_loader).
+# --------------------------------------------------------------------------- #
+
+from reference_loader import load_reference_module  # noqa: E402
+
+
+def test_unet_full_forward_matches_reference_module():
+    """Convert a real reference UNet1d's weights and assert the two full
+    forwards agree (unet1d.py:1086-1165)."""
+    ref = load_reference_module("unet1d.py", "ref_unet1d")
+    torch.manual_seed(0)
+    kwargs = dict(
+        dim=4, channels=1, dim_mults=(1, 2), conditional=True,
+        init_cond_channels=1, attn_cond_channels=1, downsample_dim=64,
+        simple=True,
+    )
+    net = ref.UNet1d(**kwargs).eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params = convert_unet1d_state_dict(
+        sd, dim_mults=kwargs["dim_mults"], conditional=True, simple=True
+    )
+
+    b, rt, mz = 1, 6, 64
+    gen = np.random.default_rng(0)
+    x = gen.normal(size=(b, rt, mz)).astype(np.float32)
+    ic = gen.uniform(0, 1, size=(b, rt, mz)).astype(np.float32)
+    ac = gen.uniform(0, 1, size=(b, rt)).astype(np.float32)
+    t = np.array([17], np.int64)
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.tensor(x), torch.tensor(t), torch.tensor(ic), torch.tensor(ac)
+        ).numpy()
+
+    model = UNet1d(**kwargs)
+    out = np.asarray(
+        model.apply(params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ic), jnp.asarray(ac))
+    )
+    assert ref_out.shape == out.shape
+    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
+
+
+def test_custom_transformer_full_forward_matches_reference_module():
+    """Same loop for the legacy CustomTransformer (building_blocks.py:179-260).
+
+    The reference forward takes (x_t, t, x_cond); ours adopts the 4-arg
+    denoiser signature where attn_cond is that conditional input."""
+    bb = load_reference_module("building_blocks.py", "ref_building_blocks")
+    torch.manual_seed(0)
+    input_dim, hidden, heads, layers = 96, 32, 4, 2
+    net = bb.CustomTransformer(
+        input_dim=input_dim, hidden_dim=hidden, num_heads=heads, num_layers=layers
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params = convert_custom_transformer_state_dict(sd, num_layers=layers, hidden_dim=hidden)
+
+    b, rt = 2, 10
+    gen = np.random.default_rng(1)
+    x = gen.normal(size=(b, rt, input_dim)).astype(np.float32)
+    cond = gen.uniform(0, 1, size=(b, rt)).astype(np.float32)
+    t = np.array([3, 250], np.int64)
+
+    with torch.no_grad():
+        ref_out = net(torch.tensor(x), torch.tensor(t), torch.tensor(cond)).numpy()
+
+    model = CustomTransformer(
+        input_dim=input_dim, hidden_dim=hidden, num_heads=heads, num_layers=layers
+    )
+    out = np.asarray(
+        model.apply(params, jnp.asarray(x), jnp.asarray(t), None, jnp.asarray(cond))
+    )
+    assert ref_out.shape == out.shape
+    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
