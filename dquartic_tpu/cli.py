@@ -167,8 +167,18 @@ def generate_train_data(
 @click.option("--num-steps", default=50, type=int, help="DDIM reverse steps")
 @click.option("--num-batches", default=None, type=int, help="Limit number of batches")
 @click.option("--use-ema/--no-use-ema", default=True, help="Use EMA weights when present")
-def predict(config_path, checkpoint_path, output_file, num_steps, num_batches, use_ema):
-    """Deconvolute dataset windows with a trained model -> NPZ output."""
+@click.option(
+    "--format", "output_format", default=None,
+    type=click.Choice(["npz", "parquet"]),
+    help="Output format; inferred from the output file suffix by default",
+)
+def predict(config_path, checkpoint_path, output_file, num_steps, num_batches, use_ema, output_format):
+    """Deconvolute dataset windows with a trained model.
+
+    Writes NPZ by default, or parquet (one row per prediction batch with
+    flattened f32 arrays + shapes, same conventions as the training-slice
+    schema) with ``--format parquet`` / a ``.parquet`` output suffix.
+    """
     import numpy as np
 
     from .infer import DDIMSampler
@@ -193,11 +203,18 @@ def predict(config_path, checkpoint_path, output_file, num_steps, num_batches, u
         if num_batches is not None and i >= num_batches:
             break
         records.extend(sampler.predict(params, [batch], num_steps=num_steps))
-    arrays = {}
-    for i, rec in enumerate(records):
-        for k, v in rec.items():
-            arrays[f"{k}_{i}"] = v
-    np.savez_compressed(output_file, **arrays)
+    if output_format is None:
+        output_format = "parquet" if str(output_file).endswith(".parquet") else "npz"
+    if output_format == "parquet":
+        from .infer.sampler import save_predictions_parquet
+
+        save_predictions_parquet(records, output_file)
+    else:
+        arrays = {}
+        for i, rec in enumerate(records):
+            for k, v in rec.items():
+                arrays[f"{k}_{i}"] = v
+        np.savez_compressed(output_file, **arrays)
     click.echo(f"Info: Saved {len(records)} prediction batches to {output_file}")
 
 

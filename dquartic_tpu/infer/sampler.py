@@ -107,3 +107,54 @@ class DDIMSampler:
                 }
             )
         return out
+
+
+PREDICTION_SCHEMA_FIELDS = (
+    ("ms2_1", "ms2_shape"),
+    ("ms1_1", "ms1_shape"),
+    ("mixture", "ms2_shape"),
+    ("pred", "ms2_shape"),
+    ("pred_noise", "ms2_shape"),
+)
+
+
+def save_predictions_parquet(records: List[Dict[str, np.ndarray]], path: str) -> None:
+    """Write prediction records as one parquet row per batch.
+
+    Arrays are stored flattened f32 with explicit shape columns — the same
+    conventions as the training-slice schema (data/slices.SLICE_SCHEMA,
+    mirroring reference data_generation.py:273-290) so downstream tooling
+    reads both with one code path.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols: Dict[str, list] = {"batch_index": list(range(len(records)))}
+    cols["ms2_shape"] = [list(np.asarray(r["ms2_1"]).shape) for r in records]
+    cols["ms1_shape"] = [list(np.asarray(r["ms1_1"]).shape) for r in records]
+    for name, _shape_col in PREDICTION_SCHEMA_FIELDS:
+        cols[name] = [np.asarray(r[name], np.float32).ravel() for r in records]
+
+    schema = pa.schema(
+        [("batch_index", pa.int64()),
+         ("ms2_shape", pa.list_(pa.int64())),
+         ("ms1_shape", pa.list_(pa.int64()))]
+        + [(name, pa.list_(pa.float32())) for name, _ in PREDICTION_SCHEMA_FIELDS]
+    )
+    table = pa.Table.from_pydict(cols, schema=schema)
+    pq.write_table(table, path)
+
+
+def load_predictions_parquet(path: str) -> List[Dict[str, np.ndarray]]:
+    """Inverse of :func:`save_predictions_parquet`."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    out: List[Dict[str, np.ndarray]] = []
+    for i in range(tbl.num_rows):
+        row = {c: tbl.column(c)[i].as_py() for c in tbl.column_names}
+        rec = {}
+        for name, shape_col in PREDICTION_SCHEMA_FIELDS:
+            rec[name] = np.asarray(row[name], np.float32).reshape(row[shape_col])
+        out.append(rec)
+    return out

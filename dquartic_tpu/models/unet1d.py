@@ -98,6 +98,14 @@ class UNet1d(nn.Module):
         else:
             squeeze_out = False
         b, rt, mz = x.shape
+        stride = 2 ** (len(self.dim_mults) - 1)
+        if mz % stride != 0:
+            raise ValueError(
+                f"UNet1d requires the m/z length to be divisible by "
+                f"2**(len(dim_mults)-1) = {stride} so the {len(self.dim_mults)}-level "
+                f"down/up path round-trips (got mz={mz}; pad or re-bin the input, "
+                f"e.g. to {((mz + stride - 1) // stride) * stride})"
+            )
         dtype = self.dtype
         if self.remat_blocks:
             if self.dropout > 0:

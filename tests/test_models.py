@@ -233,3 +233,14 @@ def test_remat_blocks_matches_non_remat():
     gb = jax.grad(lambda p: jnp.sum(model_b.apply(p, x, t, ic, ac) ** 2))(params)
     for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4)
+
+
+def test_unet_rejects_non_divisible_mz():
+    """A clear validation error instead of an opaque concat shape error."""
+    model = UNet1d(
+        dim=4, channels=1, dim_mults=(1, 2), conditional=True,
+        init_cond_channels=1, attn_cond_channels=1, downsample_dim=16,
+    )
+    x = jnp.zeros((1, 3, 17))  # 17 % 2 != 0: cannot round-trip the 2-level path
+    with pytest.raises(ValueError, match="divisible"):
+        model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32), x, jnp.zeros((1, 3)))

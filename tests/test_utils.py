@@ -153,3 +153,30 @@ def test_build_process_stepping_flag():
     cfg2["tpu"]["ddim_proper_stepping"] = True
     p2 = build_process(cfg2)
     assert p2.parity_neighbor_stepping is False
+
+
+def test_predictions_parquet_round_trip(tmp_path):
+    from dquartic_tpu.infer.sampler import (
+        load_predictions_parquet,
+        save_predictions_parquet,
+    )
+
+    gen = np.random.default_rng(0)
+    records = []
+    for _ in range(2):
+        records.append(
+            {
+                "ms2_1": gen.normal(size=(1, 4, 8)).astype(np.float32),
+                "ms1_1": gen.normal(size=(1, 4)).astype(np.float32),
+                "mixture": gen.normal(size=(1, 4, 8)).astype(np.float32),
+                "pred": gen.normal(size=(1, 4, 8)).astype(np.float32),
+                "pred_noise": gen.normal(size=(1, 4, 8)).astype(np.float32),
+            }
+        )
+    path = str(tmp_path / "preds.parquet")
+    save_predictions_parquet(records, path)
+    back = load_predictions_parquet(path)
+    assert len(back) == 2
+    for rec, orig in zip(back, records):
+        for k in orig:
+            np.testing.assert_array_equal(rec[k], orig[k])
