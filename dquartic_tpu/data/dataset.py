@@ -6,9 +6,11 @@ backends and pair semantics, rebuilt for TPU feeding:
 
   * **NPY backend** — memory-mapped MS2 ``(N, rt, mz)`` / MS1 ``(N, rt)``
     arrays (data_loader.py:35-38).
-  * **Parquet backend** — pyarrow row-group streaming with an LRU
-    row-group cache, replacing the reference's two DuckDB point queries
+  * **Parquet backend** — sequential row-group streaming through a
+    shuffle buffer, decoded zero-copy from Arrow buffers (no per-row
+    Python objects), replacing the reference's two DuckDB point queries
     per item (data_loader.py:161-185), which cannot feed an accelerator.
+    ``streaming=False`` falls back to LRU-cached random row-group access.
   * **Pair sampling** — a random non-identical pair per draw, de-duplicated
     within an epoch (data_loader.py:111-159). Unlike the reference's
     process-global ``used_pairs`` set (racy across DataLoader workers,
@@ -33,12 +35,30 @@ from typing import Dict, Iterator, Literal, Optional, Tuple
 import numpy as np
 
 
+def _list_col_buffers(tbl, name: str, dtype) -> Tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (values, offsets) numpy views of a parquet list column.
+
+    Arrow list arrays are a flat value buffer plus int32 offsets; viewing
+    both as numpy avoids the per-row Python-object materialization of
+    ``to_pydict()`` (the reference's DuckDB point queries had the same
+    per-row overhead, data_loader.py:161-185).
+    """
+    col = tbl.column(name)
+    chunk = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+    values = np.asarray(chunk.values)
+    if values.dtype != dtype:
+        values = values.astype(dtype)
+    offsets = np.asarray(chunk.offsets)
+    return values, offsets
+
+
 class _ParquetStore:
     """Random access over a directory of slice parquet files.
 
     Maintains (file, row-group) offsets and an LRU cache of decoded row
     groups so that random pair access degrades to sequential row-group
-    reads instead of full-directory scans.
+    reads instead of full-directory scans. Row groups decode to flat
+    numpy buffers (zero-copy from Arrow), never Python lists.
     """
 
     META_COLUMNS = [
@@ -76,7 +96,10 @@ class _ParquetStore:
         meta = [h.read(columns=self.META_COLUMNS) for h in self._handles]
         import pyarrow as pa
 
-        self.meta = pa.concat_tables(meta).to_pydict()
+        meta_tbl = pa.concat_tables(meta)
+        self.meta = {
+            c: np.asarray(meta_tbl.column(c)) for c in self.META_COLUMNS
+        }
 
     def _row_group(self, fi: int, gi: int) -> dict:
         key = (fi, gi)
@@ -86,25 +109,100 @@ class _ParquetStore:
         tbl = self._handles[fi].read_row_group(
             gi, columns=["ms1_data", "ms2_data", "ms1_shape", "ms2_shape"]
         )
-        data = tbl.to_pydict()
+        data = {
+            name: _list_col_buffers(tbl, name, dtype)
+            for name, dtype in (
+                ("ms1_data", np.float32),
+                ("ms2_data", np.float32),
+                ("ms1_shape", np.int64),
+                ("ms2_shape", np.int64),
+            )
+        }
         self._cache[key] = data
         if len(self._cache) > self._cache_groups:
             self._cache.popitem(last=False)
         return data
+
+    @staticmethod
+    def _row_from_decoded(data: dict, off: int) -> Tuple[np.ndarray, np.ndarray]:
+        out = []
+        for name, shape_name in (("ms1_data", "ms1_shape"), ("ms2_data", "ms2_shape")):
+            vals, voff = data[name]
+            svals, soff = data[shape_name]
+            shape = svals[soff[off] : soff[off + 1]]
+            out.append(vals[voff[off] : voff[off + 1]].reshape(shape))
+        return out[0], out[1]
 
     def get(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         """Return (ms1, ms2) arrays for global row ``idx``."""
         g = int(np.searchsorted(self._starts, idx, side="right")) - 1
         fi, gi, start, _ = self.groups[g]
         data = self._row_group(fi, gi)
-        off = idx - start
-        ms1 = np.asarray(data["ms1_data"][off], dtype=np.float32).reshape(
-            data["ms1_shape"][off]
+        return self._row_from_decoded(data, idx - start)
+
+
+class _ShuffleBufferStream:
+    """Sequential row-group streaming with a shuffle buffer.
+
+    Row groups are visited in a fresh random order each pass and decoded
+    once (zero-copy); rows fill a reservoir from which pairs are drawn at
+    random. Every draw replaces the two consumed slots with the next
+    streamed rows, so disk access stays strictly sequential per row group
+    while pair sampling stays well-mixed — the SURVEY §7 replacement for
+    the reference's two random DuckDB point queries per item
+    (data_loader.py:161-185).
+    """
+
+    def __init__(self, store: _ParquetStore, rng: np.random.Generator, buffer_size: int = 256):
+        self.store = store
+        self.rng = rng
+        self.buffer_size = max(2, min(buffer_size, store.num_rows))
+        self._rows = self._row_iter()
+        # buffer entries: (global_idx, ms1, ms2)
+        self.buffer = [next(self._rows) for _ in range(self.buffer_size)]
+
+    def _row_iter(self):
+        n_groups = len(self.store.groups)
+        while True:
+            for g in self.rng.permutation(n_groups):
+                fi, gi, start, n = self.store.groups[int(g)]
+                data = self.store._row_group(fi, gi)
+                for off in self.rng.permutation(n):
+                    off = int(off)
+                    ms1, ms2 = self.store._row_from_decoded(data, off)
+                    yield (start + off, ms1, ms2)
+
+    def _advance(self, slot: int) -> None:
+        self.buffer[slot] = next(self._rows)
+
+    def draw_pair(self, used_pairs: set, max_tries: int = 10000):
+        meta = self.store.meta
+        for _ in range(max_tries):
+            a = int(self.rng.integers(0, len(self.buffer)))
+            b = int(self.rng.integers(0, len(self.buffer)))
+            if a == b:
+                continue
+            ia, ib = self.buffer[a][0], self.buffer[b][0]
+            if ia == ib:
+                continue
+            # same non-identity rule as the random-access path: distinct
+            # (isolation target, slice index), reference data_loader.py:135-147
+            if (
+                meta["mz_isolation_target"][ia] == meta["mz_isolation_target"][ib]
+                and meta["slice_index"][ia] == meta["slice_index"][ib]
+            ):
+                continue
+            pair = (ia, ib) if ia < ib else (ib, ia)
+            if pair in used_pairs:
+                continue
+            used_pairs.add(pair)
+            ea, eb = self.buffer[a], self.buffer[b]
+            self._advance(a)
+            self._advance(b)
+            return ea[1], ea[2], eb[1], eb[2]
+        raise RuntimeError(
+            "Exhausted distinct pairs for this epoch; call reset_epoch()."
         )
-        ms2 = np.asarray(data["ms2_data"][off], dtype=np.float32).reshape(
-            data["ms2_shape"][off]
-        )
-        return ms1, ms2
 
 
 class DIAMSDataset:
@@ -119,7 +217,10 @@ class DIAMSDataset:
         normalize: Literal[None, "minmax"] = "minmax",
         seed: int = 0,
         ms1_norm_from_first: bool = True,
+        streaming: bool = True,
+        shuffle_buffer: int = 256,
     ):
+        self.stream: Optional[_ShuffleBufferStream] = None
         if parquet_directory is None and ms1_file is not None and ms2_file is not None:
             self.ms2_data = np.load(ms2_file, mmap_mode="r")
             self.ms1_data = np.load(ms1_file, mmap_mode="r")
@@ -131,6 +232,10 @@ class DIAMSDataset:
         elif parquet_directory is not None and ms1_file is None and ms2_file is None:
             self.store = _ParquetStore(parquet_directory)
             self.data_type = "parquet"
+            if streaming:
+                self.stream = _ShuffleBufferStream(
+                    self.store, np.random.default_rng(seed + 1), shuffle_buffer
+                )
             print(
                 f"Info: Loaded {self.store.num_rows} MS2/MS1 slice samples from Parquet files."
             )
@@ -200,9 +305,12 @@ class DIAMSDataset:
         return self.store.get(idx)
 
     def sample_pair(self):
-        i, j = self._draw_indices()
-        ms1_1, ms2_1 = self._fetch(i)
-        ms1_2, ms2_2 = self._fetch(j)
+        if self.stream is not None:
+            ms1_1, ms2_1, ms1_2, ms2_2 = self.stream.draw_pair(self.used_pairs)
+        else:
+            i, j = self._draw_indices()
+            ms1_1, ms2_1 = self._fetch(i)
+            ms1_2, ms2_2 = self._fetch(j)
 
         if self.normalize == "minmax":
             ms2_min = min(ms2_1.min(), ms2_2.min())

@@ -32,6 +32,7 @@ import optax
 from flax import struct
 
 from ..core.diffusion import DDIMProcess
+from ..parallel.distributed import global_batch_from_local
 from ..parallel.sharding import replicated_sharding, shard_batch, shardings_for_tree
 from .callbacks import CallbackHandler
 from .checkpoint import latest_path_for, restore_or_init, save_checkpoint
@@ -132,6 +133,36 @@ class Trainer:
 
     def num_parameters(self, state: TrainState) -> int:
         return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
+
+    def _device_batch(self, batch):
+        """Host batch -> device batch under the trainer's mesh.
+
+        Multi-host (``jax.process_count() > 1``): every host samples the
+        same *global* batch (deterministic per-epoch RNG), keeps only its
+        contiguous row slice, and assembles the dp-sharded global arrays
+        via ``jax.make_array_from_process_local_data`` — each host only
+        materializes and transfers its own rows (pod-scale equivalent of
+        model_interface.py:561-628 single-GPU feeding).
+        """
+        if self.mesh is None:
+            return jax.tree_util.tree_map(jnp.asarray, batch)
+        if jax.process_count() > 1:
+            pc, pid = jax.process_count(), jax.process_index()
+
+            def local_rows(x):
+                x = np.asarray(x)
+                if x.shape[0] % pc:
+                    raise ValueError(
+                        f"global batch rows {x.shape[0]} not divisible by "
+                        f"process count {pc}"
+                    )
+                rows = x.shape[0] // pc
+                return x[pid * rows : (pid + 1) * rows]
+
+            return global_batch_from_local(
+                jax.tree_util.tree_map(local_rows, batch), self.mesh
+            )
+        return shard_batch(batch, self.mesh)
 
     # ------------------------------------------------------------------ #
     # jitted step                                                        #
@@ -269,8 +300,7 @@ class Trainer:
             n_batches = 0
             for batch_idx, batch in enumerate(dataset):
                 rng = jax.random.fold_in(epoch_key, batch_idx)
-                dev_batch = shard_batch(batch, self.mesh) if self.mesh is not None else batch
-                dev_batch = jax.tree_util.tree_map(jnp.asarray, dev_batch)
+                dev_batch = self._device_batch(batch)
                 state, metrics = step_fn(state, dev_batch, lr, rng)
                 losses.append(metrics["loss"])
                 n_batches += 1
@@ -335,6 +365,12 @@ class Trainer:
             "state": state,
         }
         if self._orbax is not None:
+            # Orbax is the multi-host backend: every process participates
+            # in the (async, sharding-aware) save.
             self._orbax.save(path, payload)
         else:
-            save_checkpoint(path, payload)
+            # msgpack gathers to host: write from process 0 only (the
+            # payload is fully replicated when tp does not split params;
+            # use tpu.checkpoint_backend="orbax" for tp-sharded trees).
+            if jax.process_index() == 0:
+                save_checkpoint(path, payload)

@@ -150,4 +150,5 @@ def build_trainer(
         mesh=mesh,
         logger=logger,
         seed=seed,
+        checkpoint_backend=config["tpu"]["checkpoint_backend"],
     )

@@ -18,6 +18,7 @@ TPU_DEFAULTS: Dict[str, Any] = {
     "compute_dtype": "float32",
     "ema_decay": 0.999,
     "attn_impl": "auto",
+    "checkpoint_backend": "msgpack",
     "checkpoint_every_n_epochs": 1,
     "log_every_n_epochs": 100,
     "prefetch": 2,

@@ -1,0 +1,81 @@
+"""Worker for the 2-process CPU multihost test (run by test_multihost.py).
+
+Each process owns 4 virtual CPU devices (8 global), joins a local
+jax.distributed cluster, and runs a real ``Trainer.train`` epoch loop on
+a dp=8 mesh — exercising ``global_batch_from_local`` feeding and the
+process-0 msgpack checkpoint guard end-to-end.
+
+Usage: python _multihost_worker.py <coordinator> <num_procs> <pid> <tmpdir>
+"""
+
+import os
+import sys
+
+
+def main():
+    coordinator, num_procs, pid, tmpdir = (
+        sys.argv[1],
+        int(sys.argv[2]),
+        int(sys.argv[3]),
+        sys.argv[4],
+    )
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coordinator, num_processes=num_procs, process_id=pid
+    )
+    assert jax.process_count() == num_procs
+    assert jax.device_count() == 4 * num_procs, jax.devices()
+    assert len(jax.local_devices()) == 4
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from dquartic_tpu.core import DDIMProcess, make_schedule
+    from dquartic_tpu.models import UNet1d
+    from dquartic_tpu.parallel import make_mesh
+    from dquartic_tpu.train import Trainer
+
+    mesh = make_mesh(dp=4 * num_procs, devices=jax.devices())
+    model = UNet1d(
+        dim=4, channels=1, dim_mults=(1, 2), conditional=True,
+        init_cond_channels=1, attn_cond_channels=1, downsample_dim=16,
+    )
+    process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
+    trainer = Trainer(model, process, mesh=mesh, seed=0, ema_decay=None)
+
+    # Every process samples the SAME global batches (shared seed); the
+    # trainer slices out this process's rows internally.
+    rng = np.random.default_rng(0)
+    b, rt, mz = 4 * num_procs, 4, 16
+    batches = [
+        {
+            "ms2_1": rng.uniform(0, 1, (b, rt, mz)).astype(np.float32),
+            "ms1_1": rng.uniform(0, 1, (b, rt)).astype(np.float32),
+            "ms2_2": rng.uniform(0, 1, (b, rt, mz)).astype(np.float32),
+            "ms1_2": rng.uniform(0, 1, (b, rt)).astype(np.float32),
+        }
+        for _ in range(2)
+    ]
+    ckpt = os.path.join(tmpdir, "best.ckpt")
+    state = trainer.train(
+        batches, epochs=2, warmup_epochs=0, learning_rate=1e-4, checkpoint_path=ckpt
+    )
+    assert int(jax.device_get(state.step)) == 4  # 2 epochs x 2 batches
+
+    from dquartic_tpu.train.checkpoint import latest_path_for
+
+    if pid == 0:
+        assert os.path.exists(ckpt), "best checkpoint missing"
+        assert os.path.exists(latest_path_for(ckpt)), "latest checkpoint missing"
+    print(f"MULTIHOST_OK pid={pid} step={int(jax.device_get(state.step))}")
+
+
+if __name__ == "__main__":
+    main()

@@ -142,3 +142,41 @@ def test_pair_batches_shapes(npy_dataset):
     assert len(out) == 4
     assert out[0]["ms2_1"].shape == (3, 4, 16)
     assert out[0]["ms1_1"].shape == (3, 4)
+
+
+def test_parquet_streaming_pair_semantics(tmp_path):
+    """Streaming sampler: distinct pairs, per-epoch dedup, valid data."""
+    _write_parquet(tmp_path, n=12)
+    ds = DIAMSDataset(parquet_directory=str(tmp_path), normalize=None, shuffle_buffer=6)
+    assert ds.stream is not None
+    seen = set()
+    for _ in range(8):
+        ms2_1, ms1_1, ms2_2, ms1_2 = ds.sample_pair()
+        assert ms2_1.shape == (4, 16) and ms1_1.shape == (4, 3)
+        assert np.isfinite(ms2_1).all() and np.isfinite(ms2_2).all()
+    assert len(ds.used_pairs) == 8
+    ds.reset_epoch()
+    assert len(ds.used_pairs) == 0
+
+
+def test_parquet_streaming_matches_random_access_rows(tmp_path):
+    """Every streamed row must be byte-identical to random-access get()."""
+    _write_parquet(tmp_path, n=10)
+    ds = DIAMSDataset(parquet_directory=str(tmp_path), normalize=None, shuffle_buffer=4)
+    store = ds.store
+    for idx, ms1, ms2 in ds.stream.buffer:
+        ms1_ref, ms2_ref = store.get(idx)
+        np.testing.assert_array_equal(ms1, ms1_ref)
+        np.testing.assert_array_equal(ms2, ms2_ref)
+
+
+def test_parquet_streaming_minmax_norm(tmp_path):
+    """Per-pair minmax semantics are preserved under streaming."""
+    _write_parquet(tmp_path, n=8)
+    ds = DIAMSDataset(parquet_directory=str(tmp_path), normalize="minmax", shuffle_buffer=4)
+    ms2_1, ms1_1, ms2_2, ms1_2 = ds.sample_pair()
+    joint = np.concatenate([ms2_1.ravel(), ms2_2.ravel()])
+    assert joint.min() == pytest.approx(0.0, abs=1e-6)
+    assert joint.max() == pytest.approx(1.0, abs=1e-6)
+    assert ms1_1.min() == pytest.approx(0.0, abs=1e-6)
+    assert ms1_1.max() == pytest.approx(1.0, abs=1e-6)
