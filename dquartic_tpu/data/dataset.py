@@ -140,6 +140,24 @@ class _ParquetStore:
         data = self._row_group(fi, gi)
         return self._row_from_decoded(data, idx - start)
 
+    def axes(self, idx: int = 0) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Real (rt_values, mz_values_ms2) axes for global row ``idx``
+        (SLICE_SCHEMA carries them per slice; the reference keeps them in
+        its parquet schema too, data_generation.py:219-222, but never
+        threads them to plots). Returns None if the files predate the
+        axis columns."""
+        g = int(np.searchsorted(self._starts, idx, side="right")) - 1
+        fi, gi, start, _ = self.groups[g]
+        h = self._handles[fi]
+        names = {c.name for c in h.schema_arrow}
+        if not {"rt_values", "mz_values_ms2"} <= names:
+            return None
+        tbl = h.read_row_group(gi, columns=["rt_values", "mz_values_ms2"])
+        off = idx - start
+        rt = np.asarray(tbl.column("rt_values")[off].values, dtype=np.float32)
+        mz = np.asarray(tbl.column("mz_values_ms2")[off].values, dtype=np.float32)
+        return rt, mz
+
 
 class _ShuffleBufferStream:
     """Sequential row-group streaming with a shuffle buffer.
@@ -272,6 +290,16 @@ class DIAMSDataset:
         data_loader.py:57-68) and return
         (ms2_1, ms1_1, ms2_2, ms1_2) float32 arrays."""
         return self.sample_pair()
+
+    def axes(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Real (RT seconds, m/z) axis values for plotting, when the
+        backing store carries them (parquet slices do; NPY files don't)."""
+        if self.data_type == "parquet":
+            try:
+                return self.store.axes(0)
+            except Exception:
+                return None
+        return None
 
     # -- sampling ------------------------------------------------------ #
 

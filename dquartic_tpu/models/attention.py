@@ -105,10 +105,13 @@ class LinearAttention(nn.Module):
     residual mixer at every U-Net resolution, where n is the m/z axis
     (up to 40k): never materializes an (n, n) tensor.
 
-    ``impl``: "xla" (einsum path), "pallas" (the fused streaming kernel in
-    :mod:`dquartic_tpu.ops.linear_attention`, which also fuses the output
-    projection + RMSNorm and keeps the 3*hidden qkv expansion out of
-    HBM), or "auto" (pallas on TPU for sequences >= 2048).
+    ``impl``: "xla" (einsum path), "pallas_t" (the lane-dense transposed
+    fused kernel in :mod:`dquartic_tpu.ops.linear_attention`, which also
+    fuses the output projection + RMSNorm and keeps the 3*hidden qkv
+    expansion out of HBM), "pallas" (the original row-blocked kernel,
+    kept for comparison), or "auto": pallas_t on TPU for sequences >=
+    ``DQUARTIC_LINATTN_MIN_SEQ`` (default 2048 — measured v5e
+    crossover vs XLA, BENCH_NOTES.md), XLA below.
     """
 
     dim: int
@@ -119,31 +122,34 @@ class LinearAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
         hidden = self.heads * self.dim_head
         w_qkv, _ = _ConvParams(self.dim, hidden * 3, use_bias=False, name="to_qkv")()
         w_out, b_out = _ConvParams(hidden, self.dim, name="to_out_conv")()
         g = RMSNormParam(self.dim, name="to_out_norm")()
 
         impl = self.impl
+        min_seq = int(os.environ.get("DQUARTIC_LINATTN_MIN_SEQ", "2048"))
         if impl == "auto":
-            import os
-
-            # Measured tradeoff (BENCH_NOTES.md): standalone, the fused
-            # kernel is ~3x faster than XLA; embedded in the full U-Net
-            # program, per-pallas-call launch overhead on the current
-            # tunneled platform outweighs the fusion win, so "auto"
-            # resolves to the XLA path. On directly-attached TPUs set
-            # DQUARTIC_LINATTN_IMPL=pallas (or impl="pallas") to flip.
             env = os.environ.get("DQUARTIC_LINATTN_IMPL")
-            if env in ("pallas", "xla"):
-                impl = env if (env == "xla" or x.shape[1] >= 2048) else "xla"
-            else:
-                impl = "xla"
+            impl = env if env in ("pallas", "pallas_t", "xla") else (
+                "pallas_t" if jax.default_backend() == "tpu" else "xla"
+            )
+        # kernels only pay off on long sequences: measured v5e crossover
+        # vs XLA is ~2048-5000 (scripts/bench_linattn_variants.py) — below it
+        # the per-call floor dominates and XLA wins.
+        if impl != "xla" and x.shape[1] < min_seq:
+            impl = "xla"
 
-        if impl == "pallas":
-            from ..ops.linear_attention import fused_linear_attention
+        if impl in ("pallas", "pallas_t"):
+            from ..ops.linear_attention import (
+                fused_linear_attention,
+                fused_linear_attention_t,
+            )
 
-            return fused_linear_attention(
+            fn = fused_linear_attention_t if impl == "pallas_t" else fused_linear_attention
+            return fn(
                 x.astype(self.dtype), w_qkv[0], w_out[0], b_out, g,
                 heads=self.heads, dim_head=self.dim_head,
             )

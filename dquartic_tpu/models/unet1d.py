@@ -107,6 +107,13 @@ class UNet1d(nn.Module):
                 f"e.g. to {((mz + stride - 1) // stride) * stride})"
             )
         dtype = self.dtype
+        # Under SPMD activation sharding the m/z axis is partitioned across
+        # the mesh; the Pallas kernel has no sharding rule, so "auto"
+        # resolves linear attention to XLA (which partitions fine). An
+        # explicit impl= still forces the kernel.
+        la_impl = self.linear_attn_impl
+        if self.activation_sharding is not None and la_impl == "auto":
+            la_impl = "xla"
         if self.remat_blocks:
             if self.dropout > 0:
                 raise ValueError("remat_blocks requires dropout == 0")
@@ -180,7 +187,7 @@ class UNet1d(nn.Module):
                 ac = ResnetBlock(acid, time_emb_dim=None, dtype=dtype, name="attn_mz_res1")(ac)
                 ac = ResnetBlock(acid, time_emb_dim=None, dtype=dtype, name="attn_mz_res2")(ac)
                 acn = RMSNorm(acid, dtype=dtype, name="attn_mz_attn_norm")(ac)
-                ac = ac + LinearAttention(acid, impl=self.linear_attn_impl, dtype=dtype, name="attn_mz_attn_fn")(acn)
+                ac = ac + LinearAttention(acid, impl=la_impl, dtype=dtype, name="attn_mz_attn_fn")(acn)
 
             # pivot '(b rt) mz d -> b rt (d mz)' with channel-major (d, mz)
             # flattening order for checkpoint parity (unet1d.py:1129)
@@ -218,7 +225,7 @@ class UNet1d(nn.Module):
                 name=f"downs_{i}_block2",
             )(x, t_rows, deterministic)
             xn = RMSNorm(dim_in, dtype=dtype, name=f"downs_{i}_attn_norm")(x)
-            x = x + LinearAttention(dim_in, impl=self.linear_attn_impl, dtype=dtype, name=f"downs_{i}_attn_fn")(xn)
+            x = x + LinearAttention(dim_in, impl=la_impl, dtype=dtype, name=f"downs_{i}_attn_fn")(xn)
             skips.append(x)
 
             if not is_last:
@@ -284,7 +291,7 @@ class UNet1d(nn.Module):
                 name=f"ups_{i}_block2",
             )(x, t_rows, deterministic)
             xn = RMSNorm(dim_out, dtype=dtype, name=f"ups_{i}_attn_norm")(x)
-            x = x + LinearAttention(dim_out, impl=self.linear_attn_impl, dtype=dtype, name=f"ups_{i}_attn_fn")(xn)
+            x = x + LinearAttention(dim_out, impl=la_impl, dtype=dtype, name=f"ups_{i}_attn_fn")(xn)
 
             if not is_last:
                 x = Upsample(dim_in, dtype=dtype, name=f"ups_{i}_upsample")(x)

@@ -308,6 +308,142 @@ def _fused_forward_single(
 
 
 # --------------------------------------------------------------------- #
+# transposed single-call variant: (B, C, N) layout, N on lanes          #
+# --------------------------------------------------------------------- #
+
+
+def _kernel_ab_t(
+    x_ref, wq_ref, wk_ref, wv_ref, woutT_ref, bout_ref, g_ref, o_ref,
+    m_ref, s_ref, acc_ref,
+    *, block_n: int, seq_len: int, heads: int, dim_head: int, channels: int,
+):
+    """Transposed two-phase kernel. All tiles are (rows, block_n) with the
+    sequence on the lane axis, so VMEM tiles and HBM<->VMEM DMAs are
+    lane-dense for any channel count C (the original (block_n, C<=16)
+    blocking pads lanes 8-32x, which is what made the custom call lose
+    in-model — the surrounding net carries C-minor activations).
+
+    x: (B, C, N); weights transposed: wq/wk/wv (H, C), woutT (C, H).
+    Phase 0 accumulates the per-batch (H_d, H_e) context with an online
+    softmax over N; phase 1 emits y = RMSNorm(w_out @ (ctx^T @ softmax_h(q)))
+    block by block. ctx lives in VMEM scratch between phases.
+    """
+    phase = pl.program_id(1)
+    j = pl.program_id(2)
+    num_blocks = pl.num_programs(2)
+    H = heads * dim_head
+
+    @pl.when((phase == 0) & (j == 0))
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        s_ref[...] = jnp.zeros_like(s_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # (C, block_n)
+    col = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (H, block_n), 1)
+    valid = col < seq_len
+
+    @pl.when(phase == 0)
+    def _():
+        k = jnp.dot(wk_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
+        v = jnp.dot(wv_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
+        k = jnp.where(valid, k, _NEG_INF)
+        v = jnp.where(valid, v, 0.0)
+
+        m_old, s_old, acc_old = m_ref[...], s_ref[...], acc_ref[...]  # (H,1),(H,1),(H,H)
+        m_new = jnp.maximum(m_old, jnp.max(k, axis=1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)  # (H, 1), per row d
+        p = jnp.exp(k - m_new)  # (H, block_n); padded cols -> 0
+        s_new = s_old * alpha + jnp.sum(p, axis=1, keepdims=True)
+        # c[d, e] = sum_n p[d, n] v[e, n]
+        c = jax.lax.dot_general(
+            p, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_ref[...] = m_new
+        s_ref[...] = s_new
+        acc_ref[...] = acc_old * alpha + c
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+        @pl.when(j == num_blocks - 1)
+        def _():
+            mask = _head_mask(heads, dim_head)
+            acc_ref[...] = acc_ref[...] * mask / jnp.maximum(s_ref[...], 1e-30)
+
+    @pl.when(phase == 1)
+    def _():
+        q = jnp.dot(wq_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
+        # per-head softmax over the d rows of each head: subtract the
+        # column-global max (a valid shift for every head segment), then
+        # head-sum via the block-diagonal mask matmul.
+        mask = _head_mask(heads, dim_head)
+        gmax = jnp.max(q, axis=0, keepdims=True)  # (1, block_n)
+        eq = jnp.exp(q - gmax)
+        ssum = jnp.dot(mask, eq, preferred_element_type=jnp.float32)  # per-head sums
+        qn = eq / jnp.maximum(ssum, 1e-30) * (dim_head**-0.5)
+        # out[e, n] = sum_d ctx[d, e] qn[d, n]
+        out = jax.lax.dot_general(
+            acc_ref[...], qn, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, block_n)
+        y = jnp.dot(woutT_ref[...].astype(jnp.float32), out,
+                    preferred_element_type=jnp.float32)  # (C, block_n)
+        y = y + bout_ref[...]
+        norm = jnp.sqrt(jnp.sum(jnp.square(y), axis=0, keepdims=True))
+        y = y / jnp.maximum(norm, 1e-12) * g_ref[...] * (channels**0.5)
+        o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _fused_forward_single_t(
+    x, w_qkv, w_out, b_out, g, heads, dim_head, block_n, interpret
+):
+    """x: (B, N, C) — transposed internally; returns (B, N, C)."""
+    B, N, C = x.shape
+    H = heads * dim_head
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    block_n = min(block_n, _round_up(N, 512))
+    np_ = _round_up(max(N, block_n), block_n)
+    xt = jnp.swapaxes(x, 1, 2)  # (B, C, N): dense, lane-efficient
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, np_ - N)))
+    num_blocks = np_ // block_n
+
+    wq = w_qkv[:, :H].T  # (H, C)
+    wk = w_qkv[:, H : 2 * H].T
+    wv = w_qkv[:, 2 * H :].T
+    woutT = w_out.T  # (C, H)
+    b2 = b_out.reshape(C, 1).astype(jnp.float32)
+    g2 = g.reshape(C, 1).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _kernel_ab_t, block_n=block_n, seq_len=N, heads=heads,
+        dim_head=dim_head, channels=C,
+    )
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, C, np_), x.dtype),
+        grid=(B, 2, num_blocks),
+        in_specs=[
+            _vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j)),
+            _vmem_spec((H, C), lambda i, p, j: (0, 0)),
+            _vmem_spec((H, C), lambda i, p, j: (0, 0)),
+            _vmem_spec((H, C), lambda i, p, j: (0, 0)),
+            _vmem_spec((C, H), lambda i, p, j: (0, 0)),
+            _vmem_spec((C, 1), lambda i, p, j: (0, 0)),
+            _vmem_spec((C, 1), lambda i, p, j: (0, 0)),
+        ],
+        out_specs=_vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j)),
+        scratch_shapes=[
+            _scratch_vmem((H, 1), jnp.float32),
+            _scratch_vmem((H, 1), jnp.float32),
+            _scratch_vmem((H, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xt, wq, wk, wv, woutT, b2, g2)
+    return jnp.swapaxes(y[:, :, :N], 1, 2)
+
+
+# --------------------------------------------------------------------- #
 # wrapper                                                               #
 # --------------------------------------------------------------------- #
 
@@ -405,6 +541,38 @@ def _fused_bwd(heads, dim_head, res, grad):
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_t(x, w_qkv, w_out, b_out, g, heads, dim_head):
+    return _fused_forward_single_t(
+        x, w_qkv, w_out, b_out, g, heads, dim_head, _DEFAULT_BLOCK_N, None
+    )
+
+
+def _fused_t_fwd(x, w_qkv, w_out, b_out, g, heads, dim_head):
+    return _fused_t(x, w_qkv, w_out, b_out, g, heads, dim_head), (x, w_qkv, w_out, b_out, g)
+
+
+_fused_t.defvjp(_fused_t_fwd, _fused_bwd)
+
+
+def fused_linear_attention_t(
+    x: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    w_out: jnp.ndarray,
+    b_out: jnp.ndarray,
+    g: jnp.ndarray,
+    heads: int = 4,
+    dim_head: int = 32,
+) -> jnp.ndarray:
+    """Lane-dense transposed variant of :func:`fused_linear_attention`.
+
+    Same math and weight layout; internally runs over (B, C, N) tiles with
+    the sequence on the lane axis, which keeps HBM<->VMEM DMAs dense for
+    the net's C<=16 activations and removes the custom-call boundary
+    relayouts that made the original blocking lose in-model."""
+    return _fused_t(x, w_qkv, w_out, b_out, g, heads, dim_head)
 
 
 def fused_linear_attention(

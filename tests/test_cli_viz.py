@@ -170,6 +170,22 @@ def test_viz_hook(tmp_path):
     )
     assert all(os.path.exists(p) for p in paths)
 
+    # physical-axis panels (real RT seconds / m/z values)
+    paths = plot_single_prediction(
+        ms2[0], ms2[1], 0.5 * ms2[0] + 0.5 * ms2[1], ms1[0], ms2[0], ms2[1],
+        out_dir=str(tmp_path / "plots3"),
+        rt_axis=100.0 + np.arange(4, dtype=np.float32),
+        mz_axis=np.linspace(400.0, 1200.0, 16, dtype=np.float32),
+    )
+    assert all(os.path.exists(p) for p in paths)
+
+    # plotly backend falls back to matplotlib when plotly is absent
+    paths = plot_single_prediction(
+        ms2[0], ms2[1], 0.5 * ms2[0] + 0.5 * ms2[1], ms1[0], ms2[0], ms2[1],
+        out_dir=str(tmp_path / "plots4"), backend="plotly",
+    )
+    assert all(os.path.exists(p) for p in paths)
+
 
 def test_cli_generate_train_data(tmp_path):
     """CLI data generation end-to-end on a synthetic sqMass file."""

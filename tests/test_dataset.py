@@ -39,9 +39,9 @@ def _write_parquet(tmp_path, n=10, rt=4, mz=16):
                 "ms2_data": ms2.flatten().tolist(),
                 "ms1_shape": list(ms1.shape),
                 "ms2_shape": list(ms2.shape),
-                "rt_values": [0.0] * rt,
+                "rt_values": (100.0 + np.arange(rt, dtype=np.float32)).tolist(),
                 "mz_values_ms1": [0.0] * 3,
-                "mz_values_ms2": [0.0] * mz,
+                "mz_values_ms2": np.linspace(400.0, 1200.0, mz, dtype=np.float32).tolist(),
             }
         )
     schema = pa.schema(
@@ -168,6 +168,22 @@ def test_parquet_streaming_matches_random_access_rows(tmp_path):
         ms1_ref, ms2_ref = store.get(idx)
         np.testing.assert_array_equal(ms1, ms1_ref)
         np.testing.assert_array_equal(ms2, ms2_ref)
+
+
+def test_parquet_axes_exposed(tmp_path):
+    """Real RT / m/z axis values from SLICE_SCHEMA surface via axes()."""
+    _write_parquet(tmp_path, n=6, rt=4, mz=16)
+    ds = DIAMSDataset(parquet_directory=str(tmp_path), normalize=None)
+    axes = ds.axes()
+    assert axes is not None
+    rt, mz = axes
+    np.testing.assert_allclose(rt, 100.0 + np.arange(4))
+    np.testing.assert_allclose(mz, np.linspace(400.0, 1200.0, 16))
+
+
+def test_npy_axes_none(npy_dataset):
+    ds, _, _ = npy_dataset
+    assert ds.axes() is None
 
 
 def test_parquet_streaming_minmax_norm(tmp_path):

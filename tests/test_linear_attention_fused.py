@@ -86,6 +86,72 @@ def test_fused_bf16():
     )
 
 
+@pytest.mark.parametrize("N", [64, 512, 700, 1025])
+@pytest.mark.parametrize("C", [4, 8, 16])
+def test_transposed_matches_reference(N, C):
+    """The lane-dense transposed kernel (the in-model TPU default) against
+    the jnp oracle, across the channel counts the canonical net uses."""
+    from dquartic_tpu.ops.linear_attention import fused_linear_attention_t
+
+    heads, dim_head = 4, 32
+    w_qkv, w_out, b_out, g = make_weights(C, heads, dim_head)
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(2, N, C)).astype(np.float32))
+    out_ref = linear_attention_reference(x, w_qkv, w_out, b_out, g, heads, dim_head)
+    out = fused_linear_attention_t(x, w_qkv, w_out, b_out, g, heads, dim_head)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), rtol=2e-4, atol=5e-5)
+
+
+def test_transposed_gradients():
+    from dquartic_tpu.ops.linear_attention import fused_linear_attention_t
+
+    C, heads, dim_head = 4, 2, 16
+    w_qkv, w_out, b_out, g = make_weights(C, heads, dim_head, seed=7)
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(1, 96, C)).astype(np.float32))
+
+    def loss_t(x, wq, wo, bo, gg):
+        return jnp.sum(fused_linear_attention_t(x, wq, wo, bo, gg, heads, dim_head) ** 2)
+
+    def loss_ref(x, wq, wo, bo, gg):
+        return jnp.sum(
+            linear_attention_reference(x, wq, wo, bo, gg, heads, dim_head) ** 2
+        )
+
+    gt = jax.grad(loss_t, argnums=(0, 1, 2, 3, 4))(x, w_qkv, w_out, b_out, g)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w_qkv, w_out, b_out, g)
+    for a, b in zip(gt, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_transposed_bf16():
+    from dquartic_tpu.ops.linear_attention import fused_linear_attention_t
+
+    C, heads, dim_head = 8, 4, 32
+    w_qkv, w_out, b_out, g = make_weights(C, heads, dim_head)
+    x = jnp.asarray(np.random.default_rng(10).normal(size=(1, 300, C)).astype(np.float32))
+    out32 = fused_linear_attention_t(x, w_qkv, w_out, b_out, g, heads, dim_head)
+    out16 = fused_linear_attention_t(
+        x.astype(jnp.bfloat16), w_qkv, w_out, b_out, g, heads, dim_head
+    )
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(out32), rtol=5e-2, atol=5e-2
+    )
+
+
+def test_module_pallas_t_impl_matches_xla(monkeypatch):
+    """LinearAttention(impl='pallas_t') (interpret mode off-TPU) equals the
+    module's XLA path with identical params."""
+    monkeypatch.setenv("DQUARTIC_LINATTN_MIN_SEQ", "1")  # don't fall back at short N
+    C, heads, dim_head = 8, 4, 32
+    x = jnp.asarray(np.random.default_rng(11).normal(size=(2, 256, C)).astype(np.float32))
+    m_x = LinearAttention(dim=C, heads=heads, dim_head=dim_head, impl="xla")
+    params = m_x.init(jax.random.PRNGKey(0), x)
+    m_p = LinearAttention(dim=C, heads=heads, dim_head=dim_head, impl="pallas_t")
+    out_x = m_x.apply(params, x)
+    out_p = m_p.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), rtol=2e-4, atol=5e-5)
+
+
 @pytest.mark.parametrize("N", [64, 700, 1025])
 def test_single_call_matches_two_call(N):
     from dquartic_tpu.ops.linear_attention import (
