@@ -172,7 +172,7 @@ def bench_unet_sample(num_steps=50, batch=1, linear_attn_impl="auto", tag=""):
     }
 
 
-def bench_unet_train():
+def bench_unet_train(batch_size=1):
     import jax
     import jax.numpy as jnp
     import optax
@@ -183,9 +183,14 @@ def bench_unet_train():
     # Single-chip training of the 1.2B-param canonical model needs the
     # TPU-idiomatic memory recipe: rematerialized blocks (activations) and
     # a factored second moment (optimizer state) — f32 AdamW + full
-    # activations needs 22.5 GB and OOMs a 16 GB chip.
+    # activations needs 22.5 GB and OOMs a 16 GB chip. Batch >= 2
+    # additionally needs the linear-attention mixers rematerialized
+    # (their qkv expansions are the widest saved activations); the
+    # recompute costs ~26 ms/step so it stays off at batch 1.
     model = _canonical_unet(jnp.bfloat16).clone(
-        remat_blocks=True, linear_attn_impl="xla"
+        remat_blocks=True,
+        remat_linear_attn=(batch_size > 1),
+        linear_attn_impl="xla",
     )
     process = DDIMProcess(schedule=make_schedule(1000, "cosine", "eps"))
     tx = optax.chain(
@@ -193,7 +198,7 @@ def bench_unet_train():
         optax.scale_by_factored_rms(),
     )
     trainer = Trainer(model, process, optimizer=tx, ema_decay=None, seed=0)
-    batch = _make_batch(1, 34, 40000)
+    batch = _make_batch(batch_size, 34, 40000)
     state = trainer.init_state(batch)
     _log(f"unet params: {trainer.num_parameters(state)/1e6:.1f}M")
     dev_batch = jax.tree_util.tree_map(jnp.asarray, batch)
@@ -208,10 +213,14 @@ def bench_unet_train():
         return metrics["loss"]
 
     ms = _time_fn(step, warmup=2, iters=int(os.environ.get("BENCH_STEPS", "10")))
+    recipe = "bf16+remat+factored-rms" + ("+remat-linattn" if batch_size > 1 else "")
     return {
-        "metric": "train step ms (UNet1d canonical 1.2B params, 34x40000 window, bs1, bf16+remat+factored-rms)",
-        "value": round(ms, 1),
-        "unit": "ms/step",
+        "metric": (
+            f"train step ms per sample (UNet1d canonical 1.2B params, "
+            f"34x40000 window, bs{batch_size}, {recipe})"
+        ),
+        "value": round(ms / batch_size, 1),
+        "unit": "ms/sample",
         "vs_baseline": 1.0,
     }
 
@@ -220,11 +229,16 @@ MODES = {
     "transformer_train": bench_transformer_train,
     "unet_sample": bench_unet_sample,
     "unet_sample_xla": lambda: bench_unet_sample(linear_attn_impl="xla", tag="xla linear-attn"),
-    # the XLA linear-attn qkv expansion scales with rows: batch 8 needs
-    # 20.3 GB and batch 4 still trips runtime HBM limits on a 16 GB chip;
-    # batch 2 is the safe single-chip windowed batch.
-    "unet_sample_batched": lambda: bench_unet_sample(batch=2),
+    # With the transposed Pallas linear attention (round 2) the 3*hidden
+    # qkv expansion never reaches HBM, so batch 8 fits the 16 GB chip
+    # (round 1's XLA path OOMed at batch 4) and gives the best per-window
+    # amortization: 973 ms/window vs 985 at batch 2 (BENCH_NOTES.md).
+    "unet_sample_batched": lambda: bench_unet_sample(batch=8),
     "unet_train": bench_unet_train,
+    # bs2 + remat-linattn: best measured per-sample train step (213.1
+    # ms/sample vs 215 at bs1; bs4 exceeds single-chip HBM even fully
+    # rematerialized — that's the dp-mesh regime).
+    "unet_train_batched": lambda: bench_unet_train(batch_size=2),
 }
 
 

@@ -178,6 +178,10 @@ def predict(config_path, checkpoint_path, output_file, num_steps, num_batches, u
     Writes NPZ by default, or parquet (one row per prediction batch with
     flattened f32 arrays + shapes, same conventions as the training-slice
     schema) with ``--format parquet`` / a ``.parquet`` output suffix.
+
+    Note: the CLI group is chained (reference cli.py:26 parity), so
+    options must come BEFORE the positional arguments:
+    ``predict --num-steps 50 CONFIG CKPT OUT``.
     """
     import numpy as np
 

@@ -82,6 +82,14 @@ class UNet1d(nn.Module):
     # Requires dropout == 0 (the only path that branches on
     # `deterministic`).
     remat_blocks: bool = False
+    # Also rematerialize the linear-attention mixers: their qkv/softmax
+    # expansions are 24-96x wider than the (N, C<=16) activations around
+    # them, and recomputing them is what lets batch >= 2 full-resolution
+    # windows train on one 16 GB chip (bs2 otherwise overflows HBM by
+    # ~0.2 GB). Costs ~26 ms/step recompute on the canonical model, so
+    # it's opt-in: off = fastest bs1 step (215 ms), on = best per-sample
+    # at bs2 (213 ms/sample). Measured in BENCH_NOTES.md.
+    remat_linear_attn: bool = False
 
     @nn.compact
     def __call__(
@@ -120,6 +128,7 @@ class UNet1d(nn.Module):
             ResBlock = nn.remat(ResnetBlock)
         else:
             ResBlock = ResnetBlock
+        LinAttn = nn.remat(LinearAttention) if self.remat_linear_attn else LinearAttention
 
         init_dim = self.init_dim if self.init_dim is not None else self.dim
         time_dim = self.dim * 4
@@ -187,7 +196,7 @@ class UNet1d(nn.Module):
                 ac = ResnetBlock(acid, time_emb_dim=None, dtype=dtype, name="attn_mz_res1")(ac)
                 ac = ResnetBlock(acid, time_emb_dim=None, dtype=dtype, name="attn_mz_res2")(ac)
                 acn = RMSNorm(acid, dtype=dtype, name="attn_mz_attn_norm")(ac)
-                ac = ac + LinearAttention(acid, impl=la_impl, dtype=dtype, name="attn_mz_attn_fn")(acn)
+                ac = ac + LinAttn(acid, impl=la_impl, dtype=dtype, name="attn_mz_attn_fn")(acn)
 
             # pivot '(b rt) mz d -> b rt (d mz)' with channel-major (d, mz)
             # flattening order for checkpoint parity (unet1d.py:1129)
@@ -225,7 +234,7 @@ class UNet1d(nn.Module):
                 name=f"downs_{i}_block2",
             )(x, t_rows, deterministic)
             xn = RMSNorm(dim_in, dtype=dtype, name=f"downs_{i}_attn_norm")(x)
-            x = x + LinearAttention(dim_in, impl=la_impl, dtype=dtype, name=f"downs_{i}_attn_fn")(xn)
+            x = x + LinAttn(dim_in, impl=la_impl, dtype=dtype, name=f"downs_{i}_attn_fn")(xn)
             skips.append(x)
 
             if not is_last:
@@ -291,7 +300,7 @@ class UNet1d(nn.Module):
                 name=f"ups_{i}_block2",
             )(x, t_rows, deterministic)
             xn = RMSNorm(dim_out, dtype=dtype, name=f"ups_{i}_attn_norm")(x)
-            x = x + LinearAttention(dim_out, impl=la_impl, dtype=dtype, name=f"ups_{i}_attn_fn")(xn)
+            x = x + LinAttn(dim_out, impl=la_impl, dtype=dtype, name=f"ups_{i}_attn_fn")(xn)
 
             if not is_last:
                 x = Upsample(dim_in, dtype=dtype, name=f"ups_{i}_upsample")(x)

@@ -21,9 +21,14 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Sequences shorter than this gain nothing from a custom kernel: the whole
-# score matrix fits comfortably in VMEM and XLA's fusion is already optimal.
-_PALLAS_MIN_SEQ = 512
+# Measured v5e crossover (scripts/bench_attn_dispatch.py, (1,4,seq,32)
+# bf16): XLA's fused n^2 softmax-attention holds to seq=4096 (1.3 ms),
+# then falls off a cliff as the score matrix spills (5120: 4.9 ms,
+# 6144: 43 ms, 8192: 113 ms) while the flash kernel scales smoothly
+# (3.3 / 5.1 / 6.8 ms). Below the cliff both are at the dispatch floor
+# (<2 ms) and in-model the difference is sub-noise at rt=34
+# (28.8 vs 29.1 ms canonical forward), so XLA keeps the simpler program.
+_PALLAS_MIN_SEQ = 5120
 
 
 def _xla_attention(

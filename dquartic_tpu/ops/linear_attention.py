@@ -15,9 +15,11 @@ intermediate on-chip:
           writing only the (N, C) result.
 
 HBM traffic collapses from O(N * 9 * hidden) to 2 reads of x + 1 write of
-y. Backward runs the jnp reference implementation under ``custom_vjp``
-(cheap recompute; training defaults to the XLA path anyway — this kernel
-is the inference fast path).
+y. Differentiation runs the jnp reference implementation end to end
+(``custom_vjp`` whose fwd rule is the reference: the backward recomputes
+it anyway, so the kernel would be pure overhead under ``jax.grad`` —
+measured 262.5 vs 215 ms/step on the 1.2B canonical train step). The
+kernel is the inference/evaluation fast path; training is pure XLA.
 
 Weight layout matches the flax module: w_qkv (C, 3H) with q|k|v on the
 last axis and heads channel-major inside each H block; w_out (H, C).
@@ -332,6 +334,11 @@ def _kernel_ab_t(
     j = pl.program_id(2)
     num_blocks = pl.num_programs(2)
     H = heads * dim_head
+    # The MXU runs bf16 x bf16 -> f32 at twice the f32 x f32 rate; when the
+    # model computes in bf16, the big (H, block_n) dot operands are cast to
+    # bf16 (f32 accumulation kept) — the same precision contract as the
+    # XLA path, which materializes softmax outputs in the compute dtype.
+    cd = o_ref.dtype if o_ref.dtype == jnp.bfloat16 else jnp.float32
 
     @pl.when((phase == 0) & (j == 0))
     def _():
@@ -357,7 +364,8 @@ def _kernel_ab_t(
         s_new = s_old * alpha + jnp.sum(p, axis=1, keepdims=True)
         # c[d, e] = sum_n p[d, n] v[e, n]
         c = jax.lax.dot_general(
-            p, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(cd), v.astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         m_ref[...] = m_new
         s_ref[...] = s_new
@@ -374,15 +382,20 @@ def _kernel_ab_t(
         q = jnp.dot(wq_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
         # per-head softmax over the d rows of each head: subtract the
         # column-global max (a valid shift for every head segment), then
-        # head-sum via the block-diagonal mask matmul.
-        mask = _head_mask(heads, dim_head)
+        # normalize each head's 2-D sublane slab by its own column sum —
+        # exact f32, no (H, H) matmul (Mosaic can't 3-D-reshape, but 2-D
+        # slab reductions are native VPU ops).
         gmax = jnp.max(q, axis=0, keepdims=True)  # (1, block_n)
         eq = jnp.exp(q - gmax)
-        ssum = jnp.dot(mask, eq, preferred_element_type=jnp.float32)  # per-head sums
-        qn = eq / jnp.maximum(ssum, 1e-30) * (dim_head**-0.5)
+        slabs = []
+        for h in range(heads):
+            slab = eq[h * dim_head : (h + 1) * dim_head]
+            ssum = jnp.sum(slab, axis=0, keepdims=True)  # (1, block_n)
+            slabs.append(slab / jnp.maximum(ssum, 1e-30))
+        qn = jnp.concatenate(slabs, axis=0) * (dim_head**-0.5)
         # out[e, n] = sum_d ctx[d, e] qn[d, n]
         out = jax.lax.dot_general(
-            acc_ref[...], qn, (((0,), (0,)), ((), ())),
+            acc_ref[...].astype(cd), qn.astype(cd), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (H, block_n)
         y = jnp.dot(woutT_ref[...].astype(jnp.float32), out,
@@ -528,7 +541,15 @@ def _fused(x, w_qkv, w_out, b_out, g, heads, dim_head):
 
 
 def _fused_fwd(x, w_qkv, w_out, b_out, g, heads, dim_head):
-    return _fused(x, w_qkv, w_out, b_out, g, heads, dim_head), (x, w_qkv, w_out, b_out, g)
+    # Under differentiation the primal is computed by the XLA reference,
+    # NOT the kernel: the backward recomputes the reference anyway (cheap
+    # residuals), so running the kernel first is pure overhead — measured
+    # 262.5 vs 215 ms/step on the 1.2B canonical train step (BENCH_NOTES).
+    # Plain (non-differentiated) calls still hit the kernel fast path.
+    y = linear_attention_reference(
+        x, w_qkv, w_out, b_out, g, heads=heads, dim_head=dim_head
+    )
+    return y, (x, w_qkv, w_out, b_out, g)
 
 
 def _fused_bwd(heads, dim_head, res, grad):
@@ -551,7 +572,11 @@ def _fused_t(x, w_qkv, w_out, b_out, g, heads, dim_head):
 
 
 def _fused_t_fwd(x, w_qkv, w_out, b_out, g, heads, dim_head):
-    return _fused_t(x, w_qkv, w_out, b_out, g, heads, dim_head), (x, w_qkv, w_out, b_out, g)
+    # XLA primal under differentiation — see _fused_fwd.
+    y = linear_attention_reference(
+        x, w_qkv, w_out, b_out, g, heads=heads, dim_head=dim_head
+    )
+    return y, (x, w_qkv, w_out, b_out, g)
 
 
 _fused_t.defvjp(_fused_t_fwd, _fused_bwd)
