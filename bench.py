@@ -15,9 +15,10 @@ Secondary modes:
     reverse pass, ms per (34, 40000) MS2 window (BASELINE.json headline;
     the reference publishes no number, vs_baseline=1.0 by definition).
   * ``unet_sample_xla``      — same, linear attention forced to XLA.
-  * ``unet_sample_batched``  — same at batch 2 (largest safe single-chip batch).
-  * ``unet_train``           — canonical UNet1d train step
-    (bf16 + remat + factored second moment to fit one 16 GB chip).
+  * ``unet_sample_batched``  — same at batch 8 (best per-window amortization).
+  * ``unet_train``           — canonical UNet1d train step (bf16 + remat
+    + factored second moment + Pallas linattn fwd/bwd).
+  * ``unet_train_batched``   — same at batch 8 (best ms/sample).
 
 Select with BENCH_MODE env var; BENCH_STEPS overrides timing iterations.
 Measured results + chip calibration live in BENCH_NOTES.md.
@@ -183,15 +184,11 @@ def bench_unet_train(batch_size=1):
     # Single-chip training of the 1.2B-param canonical model needs the
     # TPU-idiomatic memory recipe: rematerialized blocks (activations) and
     # a factored second moment (optimizer state) — f32 AdamW + full
-    # activations needs 22.5 GB and OOMs a 16 GB chip. Batch >= 2
-    # additionally needs the linear-attention mixers rematerialized
-    # (their qkv expansions are the widest saved activations); the
-    # recompute costs ~26 ms/step so it stays off at batch 1.
-    model = _canonical_unet(jnp.bfloat16).clone(
-        remat_blocks=True,
-        remat_linear_attn=(batch_size > 1),
-        linear_attn_impl="xla",
-    )
+    # activations needs 22.5 GB and OOMs a 16 GB chip. Linear attention
+    # runs the transposed Pallas kernel in BOTH directions (the streamed
+    # custom backward saves only x + weights, so the qkv expansions never
+    # exist in HBM and batch 8 fits where the XLA path OOMed at batch 2).
+    model = _canonical_unet(jnp.bfloat16).clone(remat_blocks=True)
     process = DDIMProcess(schedule=make_schedule(1000, "cosine", "eps"))
     tx = optax.chain(
         optax.clip_by_global_norm(10.0),
@@ -213,7 +210,7 @@ def bench_unet_train(batch_size=1):
         return metrics["loss"]
 
     ms = _time_fn(step, warmup=2, iters=int(os.environ.get("BENCH_STEPS", "10")))
-    recipe = "bf16+remat+factored-rms" + ("+remat-linattn" if batch_size > 1 else "")
+    recipe = "bf16+remat+factored-rms+pallas-linattn"
     return {
         "metric": (
             f"train step ms per sample (UNet1d canonical 1.2B params, "
@@ -235,10 +232,9 @@ MODES = {
     # amortization: 973 ms/window vs 985 at batch 2 (BENCH_NOTES.md).
     "unet_sample_batched": lambda: bench_unet_sample(batch=8),
     "unet_train": bench_unet_train,
-    # bs2 + remat-linattn: best measured per-sample train step (213.1
-    # ms/sample vs 215 at bs1; bs4 exceeds single-chip HBM even fully
-    # rematerialized — that's the dp-mesh regime).
-    "unet_train_batched": lambda: bench_unet_train(batch_size=2),
+    # batch 8: best measured per-sample train step with the kernel
+    # backward (65.8 ms/sample vs 122.6 at bs1 and 215 in round 1).
+    "unet_train_batched": lambda: bench_unet_train(batch_size=8),
 }
 
 

@@ -82,13 +82,13 @@ class UNet1d(nn.Module):
     # Requires dropout == 0 (the only path that branches on
     # `deterministic`).
     remat_blocks: bool = False
-    # Also rematerialize the linear-attention mixers: their qkv/softmax
-    # expansions are 24-96x wider than the (N, C<=16) activations around
-    # them, and recomputing them is what lets batch >= 2 full-resolution
-    # windows train on one 16 GB chip (bs2 otherwise overflows HBM by
-    # ~0.2 GB). Costs ~26 ms/step recompute on the canonical model, so
-    # it's opt-in: off = fastest bs1 step (215 ms), on = best per-sample
-    # at bs2 (213 ms/sample). Measured in BENCH_NOTES.md.
+    # Rematerialize the linear-attention mixers in the backward pass.
+    # Only relevant for the XLA impl, whose saved qkv/softmax expansions
+    # are 24-96x wider than the (N, C<=16) activations around them (bs2
+    # full-resolution training otherwise overflows a 16 GB chip by
+    # ~0.2 GB; the recompute costs ~26 ms/step). The Pallas kernel's
+    # custom vjp already saves only (x, weights), making this a no-op
+    # memory-wise on the kernel path. Measured in BENCH_NOTES.md.
     remat_linear_attn: bool = False
 
     @nn.compact

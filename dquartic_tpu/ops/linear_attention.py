@@ -15,11 +15,12 @@ intermediate on-chip:
           writing only the (N, C) result.
 
 HBM traffic collapses from O(N * 9 * hidden) to 2 reads of x + 1 write of
-y. Differentiation runs the jnp reference implementation end to end
-(``custom_vjp`` whose fwd rule is the reference: the backward recomputes
-it anyway, so the kernel would be pure overhead under ``jax.grad`` —
-measured 262.5 vs 215 ms/step on the 1.2B canonical train step). The
-kernel is the inference/evaluation fast path; training is pure XLA.
+y. The transposed variant also has a hand-written streamed backward
+(``_fused_backward_t``: three passes — ctx/q-side grads, dctx-side grads
++ the global k-softmax sum, then the sum correction), so under
+``jax.grad`` only (x, weights) are saved and the qkv expansion never
+exists in HBM in either direction. ``DQUARTIC_LINATTN_BWD=reference``
+falls back to differentiating the jnp reference end to end.
 
 Weight layout matches the flax module: w_qkv (C, 3H) with q|k|v on the
 last axis and heads channel-major inside each H block; w_out (H, C).
@@ -457,6 +458,373 @@ def _fused_forward_single_t(
 
 
 # --------------------------------------------------------------------- #
+# transposed backward: three streaming passes, all state on-chip        #
+# --------------------------------------------------------------------- #
+#
+# Derivation (per batch row; (rows, block_n) tiles, sequence on lanes):
+#   fwd: q,k,v = W @ x;  qn = softmax_head(q) * dh^-1/2;  kn = softmax_N(k)
+#        ctx = mask . (kn v^T);  o = ctx^T qn;  u = wout^T o + b
+#        y = u / max(||u||_c, eps) * g * sqrt(C)
+#   bwd: du   = (dy.g.sqrtC - yhat . <dy.g.sqrtC, yhat>_c) / r      (local)
+#        dwo += o du^T;  do = wout du;  dctx += qn do^T;  dqn = ctx do
+#        dq   = p . (dqn*s - <dqn*s, p>_head)                        (local)
+#        dkn  = (mask.dctx) v;   dv = (mask.dctx)^T kn
+#        dk   = kn . dkn - kn . T,   T_d = sum_n kn dkn              (GLOBAL)
+# The only cross-block coupling is T (the k-softmax sum), so the backward
+# streams in three passes: A) recompute ctx stats + everything downstream
+# of q (du/do/dctx/dq grads, dx_q partial), B) dv/dkn-side grads + T
+# accumulation + dx partial, C) the -wk^T (kn . T) correction into dx.
+# Per-batch weight-grad partials come back as (B, C, H)-sized outputs and
+# are reduced in XLA (tiny); dWk's T-correction folds in there too:
+#   dWk_b = x (kn.dkn)^T - (x kn^T) . T_b
+
+
+def _slab_softmax(q, heads, dim_head, scale):
+    """Per-head column softmax of a (H, bn) tile via 2-D sublane slabs."""
+    gmax = jnp.max(q, axis=0, keepdims=True)
+    eq = jnp.exp(q - gmax)
+    slabs = []
+    for h in range(heads):
+        slab = eq[h * dim_head : (h + 1) * dim_head]
+        ssum = jnp.sum(slab, axis=0, keepdims=True)
+        slabs.append(slab / jnp.maximum(ssum, 1e-30))
+    return jnp.concatenate(slabs, axis=0) * scale
+
+
+def _kernel_bwd_a(
+    x_ref, dy_ref, wq_ref, wk_ref, wv_ref, woutT_ref, bout_ref, g_ref,
+    m_out, s_out, dctx_out, dxq_ref, dwq_out, dwo_out, db_out, dg_out,
+    m_ref, s_ref, acc_ref, dctx_ref, dwq_ref, dwo_ref, db_ref, dg_ref,
+    *, block_n: int, seq_len: int, heads: int, dim_head: int, channels: int,
+):
+    """Phase 0: fwd context recompute (m, S, ctx). Phase 1: all gradients
+    that need only the completed ctx — du/dwo/do/dctx/dq/dwq/db/dg and the
+    q-path dx partial."""
+    phase = pl.program_id(1)
+    j = pl.program_id(2)
+    num_blocks = pl.num_programs(2)
+    H = heads * dim_head
+    cd = dxq_ref.dtype if dxq_ref.dtype == jnp.bfloat16 else jnp.float32
+    scale = dim_head**-0.5
+
+    @pl.when((phase == 0) & (j == 0))
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        s_ref[...] = jnp.zeros_like(s_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        dctx_ref[...] = jnp.zeros_like(dctx_ref)
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # (C, block_n)
+    col = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (H, block_n), 1)
+    valid = col < seq_len
+
+    @pl.when(phase == 0)
+    def _():
+        k = jnp.dot(wk_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
+        v = jnp.dot(wv_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
+        k = jnp.where(valid, k, _NEG_INF)
+        v = jnp.where(valid, v, 0.0)
+        m_old, s_old, acc_old = m_ref[...], s_ref[...], acc_ref[...]
+        m_new = jnp.maximum(m_old, jnp.max(k, axis=1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(k - m_new)
+        s_ref[...] = s_old * alpha + jnp.sum(p, axis=1, keepdims=True)
+        c = jax.lax.dot_general(
+            p.astype(cd), v.astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[...] = m_new
+        acc_ref[...] = acc_old * alpha + c
+        dxq_ref[0] = jnp.zeros_like(dxq_ref[0])
+
+        @pl.when(j == num_blocks - 1)
+        def _():
+            mask = _head_mask(heads, dim_head)
+            acc_ref[...] = acc_ref[...] * mask / jnp.maximum(s_ref[...], 1e-30)
+
+    @pl.when(phase == 1)
+    def _():
+        dy = dy_ref[0].astype(jnp.float32)  # (C, block_n); padded cols are 0
+        q = jnp.dot(wq_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
+        qn = _slab_softmax(q, heads, dim_head, scale)  # (H, block_n)
+        ctx = acc_ref[...]
+        o = jax.lax.dot_general(
+            ctx.astype(cd), qn.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, block_n)
+        u = jnp.dot(woutT_ref[...].astype(jnp.float32), o,
+                    preferred_element_type=jnp.float32) + bout_ref[...]
+        r = jnp.maximum(
+            jnp.sqrt(jnp.sum(jnp.square(u), axis=0, keepdims=True)), 1e-12
+        )
+        yh = u / r
+        gsc = g_ref[...] * (channels**0.5)  # (C, 1)
+        dyh = dy * gsc
+        dg_ref[...] += jnp.sum(dy * yh, axis=1, keepdims=True) * (channels**0.5)
+        inner = jnp.sum(dyh * yh, axis=0, keepdims=True)  # (1, block_n)
+        du = (dyh - yh * inner) / r  # (C, block_n)
+        db_ref[...] += jnp.sum(du, axis=1, keepdims=True)
+        dwo_ref[...] += jax.lax.dot_general(
+            o.astype(cd), du.astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, C)
+        do = jax.lax.dot_general(
+            woutT_ref[...].astype(jnp.float32), du, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, block_n)
+        dctx_ref[...] += jax.lax.dot_general(
+            qn.astype(cd), do.astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H_d, H_e)
+        dqn = jnp.dot(ctx.astype(cd), do.astype(cd),
+                      preferred_element_type=jnp.float32)  # (H, block_n)
+        # per-head softmax backward (p = qn / scale)
+        p = qn * (1.0 / scale)
+        dqs = dqn * scale
+        slabs = []
+        for h in range(heads):
+            sl = slice(h * dim_head, (h + 1) * dim_head)
+            t_h = jnp.sum(dqs[sl] * p[sl], axis=0, keepdims=True)
+            slabs.append(p[sl] * (dqs[sl] - t_h))
+        dq = jnp.concatenate(slabs, axis=0)  # (H, block_n)
+        dwq_ref[...] += jax.lax.dot_general(
+            x.astype(cd), dq.astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (C, H)
+        dxq = jax.lax.dot_general(
+            wq_ref[...].astype(jnp.float32), dq, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (C, block_n)
+        dxq_ref[0] = dxq.astype(dxq_ref.dtype)
+
+    m_out[0] = m_ref[...]
+    s_out[0] = s_ref[...]
+    dctx_out[0] = dctx_ref[...]
+    dwq_out[0] = dwq_ref[...]
+    dwo_out[0] = dwo_ref[...]
+    db_out[0] = db_ref[...]
+    dg_out[0] = dg_ref[...]
+
+
+def _kernel_bwd_b(
+    x_ref, dxq_ref, dctx_ref, m_ref_in, s_ref_in, wk_ref, wv_ref,
+    t_out, dwv_out, dwka_out, bmat_out, dx2_ref,
+    t_ref, dwv_ref, dwka_ref, bmat_ref,
+    *, block_n: int, seq_len: int, heads: int, dim_head: int,
+):
+    """The dctx-consuming side: dv/dkn, the global T accumulation, and the
+    k/v weight-grad partials; writes dx_partial = dx_q + wv^T dv +
+    wk^T (kn . dkn)."""
+    j = pl.program_id(1)
+    H = heads * dim_head
+    cd = dx2_ref.dtype if dx2_ref.dtype == jnp.bfloat16 else jnp.float32
+
+    @pl.when(j == 0)
+    def _():
+        t_ref[...] = jnp.zeros_like(t_ref)
+        dwv_ref[...] = jnp.zeros_like(dwv_ref)
+        dwka_ref[...] = jnp.zeros_like(dwka_ref)
+        bmat_ref[...] = jnp.zeros_like(bmat_ref)
+
+    x = x_ref[0].astype(jnp.float32)
+    col = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (H, block_n), 1)
+    valid = col < seq_len
+
+    k = jnp.dot(wk_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
+    k = jnp.where(valid, k, _NEG_INF)
+    kn = jnp.exp(k - m_ref_in[0]) / jnp.maximum(s_ref_in[0], 1e-30)  # (H, block_n)
+    v = jnp.dot(wv_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
+    v = jnp.where(valid, v, 0.0)
+
+    dctx = dctx_ref[0]  # (H_d, H_e), already head-masked
+    dkn = jnp.dot(dctx.astype(cd), v.astype(cd),
+                  preferred_element_type=jnp.float32)  # (H_d, block_n)
+    dv = jax.lax.dot_general(
+        dctx.astype(cd), kn.astype(cd), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H_e, block_n)
+
+    kdkn = kn * dkn
+    t_ref[...] += jnp.sum(kdkn, axis=1, keepdims=True)
+    dwv_ref[...] += jax.lax.dot_general(
+        x.astype(cd), dv.astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwka_ref[...] += jax.lax.dot_general(
+        x.astype(cd), kdkn.astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    bmat_ref[...] += jax.lax.dot_general(
+        x.astype(cd), kn.astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx2 = dxq_ref[0].astype(jnp.float32)
+    dx2 = dx2 + jax.lax.dot_general(
+        wv_ref[...].astype(jnp.float32), dv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx2 = dx2 + jax.lax.dot_general(
+        wk_ref[...].astype(jnp.float32), kdkn, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx2_ref[0] = dx2.astype(dx2_ref.dtype)
+
+    t_out[0] = t_ref[...]
+    dwv_out[0] = dwv_ref[...]
+    dwka_out[0] = dwka_ref[...]
+    bmat_out[0] = bmat_ref[...]
+
+
+def _kernel_bwd_c(
+    x_ref, dx2_ref, m_ref_in, s_ref_in, t_ref_in, wk_ref, dx_ref,
+    *, block_n: int, seq_len: int, heads: int, dim_head: int,
+):
+    """Apply the k-softmax sum correction: dx = dx_partial - wk^T (kn . T)."""
+    j = pl.program_id(1)
+    H = heads * dim_head
+    x = x_ref[0].astype(jnp.float32)
+    col = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (H, block_n), 1)
+    valid = col < seq_len
+    k = jnp.dot(wk_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
+    k = jnp.where(valid, k, _NEG_INF)
+    kn = jnp.exp(k - m_ref_in[0]) / jnp.maximum(s_ref_in[0], 1e-30)
+    corr = jax.lax.dot_general(
+        wk_ref[...].astype(jnp.float32), kn * t_ref_in[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[0] = (dx2_ref[0].astype(jnp.float32) - corr).astype(dx_ref.dtype)
+
+
+def _fused_backward_t(x, w_qkv, w_out, b_out, g, dy, heads, dim_head, block_n):
+    """Streamed Pallas backward; returns (dx, dw_qkv, dw_out, db, dg)."""
+    B, N, C = x.shape
+    H = heads * dim_head
+    interpret = jax.default_backend() != "tpu"
+    block_n = min(block_n, _round_up(N, 512))
+    np_ = _round_up(max(N, block_n), block_n)
+    nb = np_ // block_n
+
+    xt = jnp.pad(jnp.swapaxes(x, 1, 2), ((0, 0), (0, 0), (0, np_ - N)))
+    dyt = jnp.pad(jnp.swapaxes(dy, 1, 2), ((0, 0), (0, 0), (0, np_ - N)))
+
+    wq = w_qkv[:, :H].T
+    wk = w_qkv[:, H : 2 * H].T
+    wv = w_qkv[:, 2 * H :].T
+    woutT = w_out.T
+    b2 = b_out.reshape(C, 1).astype(jnp.float32)
+    g2 = g.reshape(C, 1).astype(jnp.float32)
+
+    f32 = jnp.float32
+    const = lambda shp: _vmem_spec(shp, lambda i, p, j: (0, 0))  # noqa: E731
+    perb = lambda shp: _vmem_spec((1,) + shp, lambda i, p, j: (i, 0, 0))  # noqa: E731
+
+    kernel_a = functools.partial(
+        _kernel_bwd_a, block_n=block_n, seq_len=N, heads=heads,
+        dim_head=dim_head, channels=C,
+    )
+    m_o, s_o, dctx, dxq, dwq, dwo, db, dg = pl.pallas_call(
+        kernel_a,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, 1), f32),
+            jax.ShapeDtypeStruct((B, H, 1), f32),
+            jax.ShapeDtypeStruct((B, H, H), f32),
+            jax.ShapeDtypeStruct((B, C, np_), x.dtype),
+            jax.ShapeDtypeStruct((B, C, H), f32),
+            jax.ShapeDtypeStruct((B, H, C), f32),
+            jax.ShapeDtypeStruct((B, C, 1), f32),
+            jax.ShapeDtypeStruct((B, C, 1), f32),
+        ],
+        grid=(B, 2, nb),
+        in_specs=[
+            _vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j)),
+            _vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j)),
+            const((H, C)), const((H, C)), const((H, C)),
+            const((C, H)), const((C, 1)), const((C, 1)),
+        ],
+        out_specs=[
+            perb((H, 1)), perb((H, 1)), perb((H, H)),
+            _vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j)),
+            perb((C, H)), perb((H, C)), perb((C, 1)), perb((C, 1)),
+        ],
+        scratch_shapes=[
+            _scratch_vmem((H, 1), f32), _scratch_vmem((H, 1), f32),
+            _scratch_vmem((H, H), f32), _scratch_vmem((H, H), f32),
+            _scratch_vmem((C, H), f32), _scratch_vmem((H, C), f32),
+            _scratch_vmem((C, 1), f32), _scratch_vmem((C, 1), f32),
+        ],
+        interpret=interpret,
+    )(xt, dyt, wq, wk, wv, woutT, b2, g2)
+
+    mask = _head_mask(heads, dim_head)
+    dctx = dctx * mask[None]
+
+    const2 = lambda shp: _vmem_spec(shp, lambda i, j: (0, 0))  # noqa: E731
+    perb2 = lambda shp: _vmem_spec((1,) + shp, lambda i, j: (i, 0, 0))  # noqa: E731
+    kernel_b = functools.partial(
+        _kernel_bwd_b, block_n=block_n, seq_len=N, heads=heads, dim_head=dim_head
+    )
+    t_o, dwv, dwka, bmat, dx2 = pl.pallas_call(
+        kernel_b,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, 1), f32),
+            jax.ShapeDtypeStruct((B, C, H), f32),
+            jax.ShapeDtypeStruct((B, C, H), f32),
+            jax.ShapeDtypeStruct((B, C, H), f32),
+            jax.ShapeDtypeStruct((B, C, np_), x.dtype),
+        ],
+        grid=(B, nb),
+        in_specs=[
+            _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
+            _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
+            perb2((H, H)), perb2((H, 1)), perb2((H, 1)),
+            const2((H, C)), const2((H, C)),
+        ],
+        out_specs=[
+            perb2((H, 1)), perb2((C, H)), perb2((C, H)), perb2((C, H)),
+            _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
+        ],
+        scratch_shapes=[
+            _scratch_vmem((H, 1), f32), _scratch_vmem((C, H), f32),
+            _scratch_vmem((C, H), f32), _scratch_vmem((C, H), f32),
+        ],
+        interpret=interpret,
+    )(xt, dxq, dctx, m_o, s_o, wk, wv)
+
+    kernel_c = functools.partial(
+        _kernel_bwd_c, block_n=block_n, seq_len=N, heads=heads, dim_head=dim_head
+    )
+    dxt = pl.pallas_call(
+        kernel_c,
+        out_shape=jax.ShapeDtypeStruct((B, C, np_), x.dtype),
+        grid=(B, nb),
+        in_specs=[
+            _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
+            _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
+            perb2((H, 1)), perb2((H, 1)), perb2((H, 1)),
+            const2((H, C)),
+        ],
+        out_specs=_vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
+        interpret=interpret,
+    )(xt, dx2, m_o, s_o, t_o, wk)
+
+    dx = jnp.swapaxes(dxt[:, :, :N], 1, 2)
+    # finalize weight grads in XLA (tiny tensors): apply dWk's T-correction
+    # per batch, then reduce over B
+    dwk = dwka - bmat * jnp.swapaxes(t_o, 1, 2)  # (B, C, H)
+    dw_qkv = jnp.concatenate(
+        [jnp.sum(dwq, axis=0), jnp.sum(dwk, axis=0), jnp.sum(dwv, axis=0)], axis=-1
+    ).astype(w_qkv.dtype)
+    dw_out = jnp.sum(dwo, axis=0).astype(w_out.dtype)
+    db_f = jnp.sum(db, axis=0)[:, 0].astype(b_out.dtype)
+    dg_f = jnp.sum(dg, axis=0)[:, 0].astype(g.dtype)
+    return dx, dw_qkv, dw_out, db_f, dg_f
+
+
+# --------------------------------------------------------------------- #
 # wrapper                                                               #
 # --------------------------------------------------------------------- #
 
@@ -571,15 +939,38 @@ def _fused_t(x, w_qkv, w_out, b_out, g, heads, dim_head):
     )
 
 
+def _use_kernel_bwd() -> bool:
+    import os
+
+    return os.environ.get("DQUARTIC_LINATTN_BWD", "kernel") == "kernel"
+
+
 def _fused_t_fwd(x, w_qkv, w_out, b_out, g, heads, dim_head):
-    # XLA primal under differentiation — see _fused_fwd.
-    y = linear_attention_reference(
-        x, w_qkv, w_out, b_out, g, heads=heads, dim_head=dim_head
-    )
+    # With the streamed Pallas backward (the default), the primal under
+    # differentiation is the kernel itself and only (x, weights) are
+    # saved — the full qkv expansion never exists in HBM in either
+    # direction. DQUARTIC_LINATTN_BWD=reference falls back to the
+    # XLA-everything path (primal computed by the reference so the kernel
+    # isn't pure overhead on top of the reference recompute).
+    if _use_kernel_bwd():
+        y = _fused_t(x, w_qkv, w_out, b_out, g, heads, dim_head)
+    else:
+        y = linear_attention_reference(
+            x, w_qkv, w_out, b_out, g, heads=heads, dim_head=dim_head
+        )
     return y, (x, w_qkv, w_out, b_out, g)
 
 
-_fused_t.defvjp(_fused_t_fwd, _fused_bwd)
+def _fused_t_bwd(heads, dim_head, res, grad):
+    x, w_qkv, w_out, b_out, g = res
+    if _use_kernel_bwd():
+        return _fused_backward_t(
+            x, w_qkv, w_out, b_out, g, grad, heads, dim_head, _DEFAULT_BLOCK_N
+        )
+    return _fused_bwd(heads, dim_head, res, grad)
+
+
+_fused_t.defvjp(_fused_t_fwd, _fused_t_bwd)
 
 
 def fused_linear_attention_t(

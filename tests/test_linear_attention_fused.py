@@ -152,6 +152,115 @@ def test_module_pallas_t_impl_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), rtol=2e-4, atol=5e-5)
 
 
+def _bwd_truth_f64(x, w_qkv, w_out, b_out, g, dy, heads, dh):
+    """Float64 numpy oracle for the linear-attention backward (validated
+    against a float64 jax.vjp to 1e-14; the *f32* XLA vjp deviates from
+    this truth by up to ~5e-3 — near-cancelling softmax terms — so tests
+    anchor on this instead)."""
+    B, N, C = x.shape
+    H = heads * dh
+    w64 = w_qkv.astype(np.float64)
+    wq, wk, wv = w64[:, :H].T, w64[:, H : 2 * H].T, w64[:, 2 * H :].T
+    wo = w_out.astype(np.float64)
+    mask = (np.arange(H)[:, None] // dh == np.arange(H)[None] // dh).astype(np.float64)
+    s = dh**-0.5
+    dx = np.zeros((B, C, N))
+    dwq = np.zeros((C, H)); dwk = np.zeros((C, H)); dwv = np.zeros((C, H))
+    dwo = np.zeros((H, C)); db = np.zeros(C); dg = np.zeros(C)
+    for bi in range(B):
+        xt = x[bi].astype(np.float64).T
+        dyt = dy[bi].astype(np.float64).T
+        q = wq @ xt; k = wk @ xt; v = wv @ xt
+        p = np.zeros_like(q)
+        for h in range(heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            e = np.exp(q[sl] - q[sl].max(0, keepdims=True))
+            p[sl] = e / e.sum(0, keepdims=True)
+        qn = p * s
+        kn = np.exp(k - k.max(1, keepdims=True)); kn = kn / kn.sum(1, keepdims=True)
+        ctx = (kn @ v.T) * mask
+        o = ctx.T @ qn
+        u = wo.T @ o + b_out.astype(np.float64)[:, None]
+        r = np.maximum(np.sqrt((u**2).sum(0, keepdims=True)), 1e-12)
+        yh = u / r
+        dyh = dyt * (g.astype(np.float64)[:, None] * C**0.5)
+        dg += (dyt * yh).sum(1) * C**0.5
+        du = (dyh - yh * (dyh * yh).sum(0, keepdims=True)) / r
+        db += du.sum(1)
+        dwo += o @ du.T
+        do = wo @ du
+        dctx = (qn @ do.T) * mask
+        dqs = (ctx @ do) * s
+        dq = np.zeros_like(q)
+        for h in range(heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            th = (dqs[sl] * p[sl]).sum(0, keepdims=True)
+            dq[sl] = p[sl] * (dqs[sl] - th)
+        dwq += xt @ dq.T
+        dkn = dctx @ v; dv = dctx.T @ kn
+        T = (kn * dkn).sum(1, keepdims=True)
+        dk = kn * dkn - kn * T
+        dwk += xt @ dk.T; dwv += xt @ dv.T
+        dx[bi] = wq.T @ dq + wk.T @ dk + wv.T @ dv
+    return (
+        np.swapaxes(dx, 1, 2),
+        np.concatenate([dwq, dwk, dwv], -1),
+        dwo,
+        db,
+        dg,
+    )
+
+
+@pytest.mark.parametrize("B,N,C,heads,dh", [(2, 96, 4, 2, 16), (1, 700, 8, 4, 32), (2, 513, 16, 4, 32)])
+def test_backward_kernel_matches_f64_truth(B, N, C, heads, dh):
+    """The streamed Pallas backward against the float64 oracle. The f32
+    computation carries ~5e-3 intrinsic gradient noise (so does the f32
+    XLA vjp — measured identically), hence the 1e-2 tolerance."""
+    from dquartic_tpu.ops.linear_attention import _fused_backward_t
+
+    H = heads * dh
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=(B, N, C))
+    w_qkv = rng.normal(size=(C, 3 * H)) * 0.1
+    w_out = rng.normal(size=(H, C)) * 0.1
+    b_out = rng.normal(size=(C,)) * 0.1
+    g = rng.normal(size=(C,))
+    dy = rng.normal(size=(B, N, C))
+
+    truth = _bwd_truth_f64(x, w_qkv, w_out, b_out, g, dy, heads, dh)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    got = _fused_backward_t(
+        f32(x), f32(w_qkv), f32(w_out), f32(b_out), f32(g), f32(dy), heads, dh, 512
+    )
+    for name, a, b in zip(["dx", "dw_qkv", "dw_out", "db", "dg"], got, truth):
+        scale = np.max(np.abs(b)) + 1e-9
+        err = np.max(np.abs(np.asarray(a, np.float64) - b)) / scale
+        assert err < 1e-2, f"{name}: relerr {err:.2e}"
+
+
+def test_backward_kernel_through_grad():
+    """jax.grad through the public fused op (kernel fwd + kernel bwd) vs
+    grad through the XLA reference — both f32, 1e-2 band."""
+    from dquartic_tpu.ops.linear_attention import fused_linear_attention_t
+
+    C, heads, dh = 4, 2, 16
+    w_qkv, w_out, b_out, g = make_weights(C, heads, dh, seed=3)
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(1, 600, C)).astype(np.float32))
+
+    def loss_k(x, wq, wo, bo, gg):
+        return jnp.sum(fused_linear_attention_t(x, wq, wo, bo, gg, heads, dh) ** 2)
+
+    def loss_r(x, wq, wo, bo, gg):
+        return jnp.sum(linear_attention_reference(x, wq, wo, bo, gg, heads, dh) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(x, w_qkv, w_out, b_out, g)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(x, w_qkv, w_out, b_out, g)
+    for a, b in zip(gk, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        err = float(jnp.max(jnp.abs(a - b))) / scale
+        assert err < 1e-2, f"relerr {err:.2e}"
+
+
 @pytest.mark.parametrize("N", [64, 700, 1025])
 def test_single_call_matches_two_call(N):
     from dquartic_tpu.ops.linear_attention import (
