@@ -67,6 +67,22 @@ def test_model_size_shrinks_and_output_close():
     assert rel < 0.05
 
 
+def test_apply_quantized_lazy_dequant():
+    """apply_quantized runs the model straight off the int8 tree (jitted),
+    matching explicit dequantize-then-apply bit for bit."""
+    import jax
+
+    from dquartic_tpu.ops.quantization import apply_quantized
+
+    model, params, args = _init()
+    q = quantize_params(params, min_size=1024)
+    out_explicit = model.apply(dequantize_params(q), *args)
+    out_lazy = jax.jit(lambda qp, *a: apply_quantized(model, qp, *a))(q, *args)
+    np.testing.assert_allclose(
+        np.asarray(out_lazy), np.asarray(out_explicit), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_quantized_checkpoint_roundtrip(tmp_path):
     from dquartic_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 
