@@ -261,6 +261,61 @@ def test_backward_kernel_through_grad():
         assert err < 1e-2, f"relerr {err:.2e}"
 
 
+def test_backward_kernel_bf16_close_to_f32():
+    """bf16 kernel grads track the f32 kernel grads (the training config
+    computes in bf16; grads should agree to bf16 resolution)."""
+    from dquartic_tpu.ops.linear_attention import _fused_backward_t
+
+    B, N, C, heads, dh = 2, 300, 8, 4, 32
+    H = heads * dh
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(B, N, C)).astype(np.float32)
+    w_qkv = (rng.normal(size=(C, 3 * H)) * 0.1).astype(np.float32)
+    w_out = (rng.normal(size=(H, C)) * 0.1).astype(np.float32)
+    b_out = (rng.normal(size=(C,)) * 0.1).astype(np.float32)
+    g = rng.normal(size=(C,)).astype(np.float32)
+    dy = rng.normal(size=(B, N, C)).astype(np.float32)
+
+    a32 = [jnp.asarray(t) for t in (x, w_qkv, w_out, b_out, g)]
+    g32 = _fused_backward_t(*a32, jnp.asarray(dy), heads, dh, 512)
+    g16 = _fused_backward_t(
+        jnp.asarray(x, jnp.bfloat16), *a32[1:], jnp.asarray(dy, jnp.bfloat16),
+        heads, dh, 512,
+    )
+    assert g16[0].dtype == jnp.bfloat16  # dx in the compute dtype
+    for a, b in zip(g16, g32):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        err = float(jnp.max(jnp.abs(jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32)))) / scale
+        assert err < 5e-2, f"relerr {err:.2e}"
+
+
+def test_backward_kernel_padded_tail():
+    """N that doesn't divide block_n: the padded columns must contribute
+    exactly nothing to any gradient (compare against the same inputs
+    zero-extended to a block multiple)."""
+    from dquartic_tpu.ops.linear_attention import _fused_backward_t
+
+    B, N, C, heads, dh = 1, 130, 4, 2, 16
+    H = heads * dh
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    w_qkv = jnp.asarray((rng.normal(size=(C, 3 * H)) * 0.1).astype(np.float32))
+    w_out = jnp.asarray((rng.normal(size=(H, C)) * 0.1).astype(np.float32))
+    b_out = jnp.asarray((rng.normal(size=(C,)) * 0.1).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    dy = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+
+    got = _fused_backward_t(x, w_qkv, w_out, b_out, g, dy, heads, dh, 128)
+    truth = _bwd_truth_f64(
+        np.asarray(x), np.asarray(w_qkv), np.asarray(w_out),
+        np.asarray(b_out), np.asarray(g), np.asarray(dy), heads, dh,
+    )
+    for name, a, b in zip(["dx", "dw_qkv", "dw_out", "db", "dg"], got, truth):
+        scale = np.max(np.abs(b)) + 1e-9
+        err = np.max(np.abs(np.asarray(a, np.float64) - b)) / scale
+        assert err < 1e-2, f"{name}: relerr {err:.2e}"
+
+
 @pytest.mark.parametrize("N", [64, 700, 1025])
 def test_single_call_matches_two_call(N):
     from dquartic_tpu.ops.linear_attention import (
