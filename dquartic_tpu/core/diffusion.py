@@ -90,6 +90,16 @@ class DDIMProcess:
     auto_normalize: bool = True
     ms1_loss_weight: float = 0.0
     parity_neighbor_stepping: bool = True
+    # Clamp the per-step x0 estimate to the normalized [-1, 1] range (the
+    # standard "clip_denoised" of DDPM/DDIM codebases, e.g. lucidrains'
+    # clip_x_start). The reference omits it (model.py:271-280) and its
+    # reverse pass is numerically explosive: at t~999 the cosine
+    # schedule's alpha_bar ~ 1e-5 amplifies any eps-prediction error
+    # ~300x into x0, and the iteration compounds it (measured: a trained
+    # model's 50-step samples reach |x| ~ 60 unclipped vs staying in
+    # range clipped, BENCH_NOTES.md). clip_denoised=False restores exact
+    # reference behavior.
+    clip_denoised: bool = True
 
     # ------------------------------------------------------------------ #
     # normalization                                                      #
@@ -158,6 +168,12 @@ class DDIMProcess:
             eps_pred = (x_t - sqrt_ab_t * x0_pred) / sqrt_1mab_t
         else:
             raise ValueError(f"Unknown pred_type: {self.schedule.pred_type!r}")
+
+        if self.clip_denoised:
+            x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
+            # re-derive eps consistent with the clamped x0 (lucidrains'
+            # convention) so the reconstruction stays on-manifold
+            eps_pred = (x_t - sqrt_ab_t * x0_pred) / jnp.maximum(sqrt_1mab_t, 1e-8)
 
         if self.parity_neighbor_stepping:
             prev_idx = jnp.maximum(t - 1, 0)

@@ -61,6 +61,10 @@ def build_process(config: Dict[str, Any]) -> DDIMProcess:
         # (core/diffusion.py); set tpu.ddim_proper_stepping for the
         # textbook sub-sampled DDIM update.
         parity_neighbor_stepping=not config["tpu"].get("ddim_proper_stepping", False),
+        # standard clip_denoised, on by default (the reference's unclipped
+        # reverse pass is numerically explosive — core/diffusion.py);
+        # tpu.clip_denoised=false restores exact reference behavior.
+        clip_denoised=config["tpu"].get("clip_denoised", True),
     )
 
 

@@ -36,8 +36,12 @@ def test_sample_timesteps_matches_torch_linspace_trunc():
 
 
 def test_ddim_step_perfect_eps_recovers_x0():
-    """If the model predicts the true eps, stepping from t=1 returns x0."""
-    proc = make_process(T=10)
+    """If the model predicts the true eps, stepping from t=1 returns x0.
+
+    clip_denoised off: this checks the raw DDIM algebra with an x0 drawn
+    outside the normalized [-1, 1] band (the clamp is covered by
+    test_ddim_step_clips_denoised)."""
+    proc = make_process(T=10, clip_denoised=False)
     ab = proc.schedule.alpha_bars
     x0 = jnp.array(np.random.default_rng(0).normal(size=(1, 4, 8)).astype(np.float32))
     eps = jnp.array(np.random.default_rng(1).normal(size=(1, 4, 8)).astype(np.float32))
@@ -50,6 +54,28 @@ def test_ddim_step_perfect_eps_recovers_x0():
     x_prev, eps_pred = proc.ddim_step(denoise, x_t, t, jnp.int32(-1), None, None)
     np.testing.assert_allclose(np.asarray(x_prev), np.asarray(x0), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(eps_pred), np.asarray(eps))
+
+
+def test_ddim_step_clips_denoised():
+    """clip_denoised (the default) clamps the x0 estimate to [-1, 1] and
+    re-derives a consistent eps — the reference's unclipped pass explodes
+    at sub-sampled strides (BENCH_NOTES.md)."""
+    proc = make_process(T=10)
+    assert proc.clip_denoised
+    x0 = jnp.full((1, 2, 4), 5.0)  # far outside the normalized band
+    ab = proc.schedule.alpha_bars
+    eps = jnp.zeros((1, 2, 4))
+    t = jnp.int32(0)
+    x_t = jnp.sqrt(ab[0]) * x0  # perfect-eps construction
+
+    def denoise(x, tv, ic, ac):
+        return eps
+
+    x_prev, eps_pred = proc.ddim_step(denoise, x_t, t, jnp.int32(-1), None, None)
+    np.testing.assert_allclose(np.asarray(x_prev), np.ones_like(x_prev), rtol=1e-6)
+    # eps re-derived from the clamped x0: (x_t - sqrt(ab) * 1) / sqrt(1-ab)
+    expect_eps = (np.asarray(x_t) - np.sqrt(ab[0])) / np.sqrt(1 - ab[0])
+    np.testing.assert_allclose(np.asarray(eps_pred), expect_eps, rtol=1e-4)
 
 
 def test_ddim_step_neighbor_vs_proper():
