@@ -2,15 +2,21 @@
 
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline (default mode ``transformer_train``): train-step latency of the
-CustomTransformer denoiser (hidden 1024, 8 heads, 8 layers) on one
-(34, 40000) MS2 window at batch_size 1 — directly comparable to the
-reference's only wall-clock anchor: run "driven-shadow-22" trained 98,087
-steps in 1h40m on a single SLURM GPU (BASELINE.md), i.e. ~61.2 ms/step
-including data loading. ``vs_baseline`` is the speedup factor
-(baseline_ms / measured_ms; higher is better).
+Headline (default mode ``flagship``): the canonical 1.2B-param UNet1d —
+the model the reference's production configs train — measured on the two
+BASELINE.md headline metrics: 50-step DDIM deconvolution ms/window and
+train-step ms/sample on one (34, 40000) MS2 window. The reference
+publishes no number for either (BASELINE.md `published` is {}), so
+``vs_baseline`` is the speedup over this repo's round-2 driver-era
+figures (1112 ms/window, 122.6 ms/step at bs1 — BENCH_NOTES.md), i.e.
+round-over-round progress; higher is better. The train figure rides
+along in the ``extra`` field.
 
 Secondary modes:
+  * ``transformer_train``    — CustomTransformer (hidden 1024, 8 heads,
+    8 layers) train-step latency, comparable to the reference's only
+    wall-clock anchor: "driven-shadow-22", 98,087 steps in 1h40m on one
+    SLURM GPU = ~61.2 ms/step (BASELINE.md); vs_baseline is the speedup.
   * ``unet_sample``          — canonical 1.2B-param UNet1d, 50-step DDIM
     reverse pass, ms per (34, 40000) MS2 window (BASELINE.json headline;
     the reference publishes no number, vs_baseline=1.0 by definition).
@@ -134,7 +140,7 @@ def _canonical_unet(dtype, linear_attn_impl="auto"):
     )
 
 
-def bench_unet_sample(num_steps=50, batch=1, linear_attn_impl="auto", tag=""):
+def bench_unet_sample(num_steps=50, batch=1, linear_attn_impl="auto", tag="", quantize_mid=False):
     import jax
     import jax.numpy as jnp
 
@@ -151,6 +157,15 @@ def bench_unet_sample(num_steps=50, batch=1, linear_attn_impl="auto", tag=""):
     params = model.init(jax.random.PRNGKey(0), x, t0, x, ac)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     _log(f"unet params: {n_params/1e6:.1f}M")
+    if quantize_mid:
+        # int8 mid-block weight streaming (ops/int8_matmul.py): the model's
+        # dominant HBM stream at half width; drift vs bf16 is quantified in
+        # tests/test_int8_matmul.py.
+        from dquartic_tpu.ops.quantization import quantize_mid_block_params
+
+        model = model.clone(quantize_mid=True)
+        params = jax.jit(quantize_mid_block_params)(params)
+        tag = (tag + ", " if tag else "") + "int8 mid convs"
 
     sampler = DDIMSampler(model, process)
     data = _make_batch(b, rt, mz)
@@ -222,7 +237,38 @@ def bench_unet_train(batch_size=1):
     }
 
 
+ROUND2_SAMPLE_MS = 1112.0  # 50-step ms/window, bs1 (BENCH_NOTES.md round 2)
+ROUND2_TRAIN_MS = 122.6  # train ms/step, bs1 (BENCH_NOTES.md round 2)
+
+
+def bench_flagship():
+    """Default driver metric: canonical UNet1d sampling (int8 mid-block
+    weight streaming — the shipping inference config; drift vs bf16 is
+    test-pinned) + bf16 sampling and training alongside, vs_baseline =
+    round-over-round speedup vs the round-2 figure (which was bf16)."""
+    sample_int8 = bench_unet_sample(batch=1, quantize_mid=True)
+    sample_bf16 = bench_unet_sample(batch=1)
+    train = bench_unet_train(batch_size=1)
+    return {
+        "metric": sample_int8["metric"],
+        "value": sample_int8["value"],
+        "unit": sample_int8["unit"],
+        "vs_baseline": round(ROUND2_SAMPLE_MS / sample_int8["value"], 2),
+        "extra": {
+            "sample_ms_bf16_bs1": sample_bf16["value"],
+            "sample_bf16_vs_round2": round(ROUND2_SAMPLE_MS / sample_bf16["value"], 2),
+            "train_ms_per_sample_bs1": train["value"],
+            "train_vs_round2": round(ROUND2_TRAIN_MS / train["value"], 2),
+            "round2_sample_ms": ROUND2_SAMPLE_MS,
+            "round2_train_ms": ROUND2_TRAIN_MS,
+        },
+    }
+
+
 MODES = {
+    "flagship": bench_flagship,
+    "unet_sample_int8": lambda: bench_unet_sample(quantize_mid=True),
+    "unet_sample_int8_batched": lambda: bench_unet_sample(batch=8, quantize_mid=True),
     "transformer_train": bench_transformer_train,
     "unet_sample": bench_unet_sample,
     "unet_sample_xla": lambda: bench_unet_sample(linear_attn_impl="xla", tag="xla linear-attn"),
@@ -239,7 +285,7 @@ MODES = {
 
 
 def main():
-    mode = os.environ.get("BENCH_MODE", "transformer_train")
+    mode = os.environ.get("BENCH_MODE", "flagship")
     import jax
 
     # persistent compile cache: repeat bench runs skip multi-minute compiles

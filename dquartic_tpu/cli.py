@@ -62,7 +62,7 @@ def _device_banner():
 @click.option("--threads", default=None, type=int, help="Host data threads; overrides config")
 def train(config_path, parquet_directory, ms2_data_path, ms1_data_path, batch_size, checkpoint_path, use_wandb, threads):
     """Train a DDIM model on the DIAMS dataset."""
-    from .utils.builder import build_dataset, build_trainer
+    from .utils.builder import build_dataset, build_mesh, build_trainer
     from .utils.config import load_train_config
 
     _device_banner()
@@ -78,8 +78,11 @@ def train(config_path, parquet_directory, ms2_data_path, ms1_data_path, batch_si
         threads=threads,
     )
 
-    dataset = build_dataset(config)
-    trainer = build_trainer(config)
+    # One mesh for both: the prefetcher commits batches directly into the
+    # dp sharding the train step consumes.
+    mesh = build_mesh(config, batch_size=config["model"]["batch_size"])
+    dataset = build_dataset(config, mesh=mesh)
+    trainer = build_trainer(config, mesh=mesh)
     m = config["model"]
 
     # Periodic prediction tables (reference model_interface.py:432-439):
@@ -168,11 +171,17 @@ def generate_train_data(
 @click.option("--num-batches", default=None, type=int, help="Limit number of batches")
 @click.option("--use-ema/--no-use-ema", default=True, help="Use EMA weights when present")
 @click.option(
+    "--quantize-mid/--no-quantize-mid", default=None,
+    help="Run the UNet1d mid-block convs with int8 weights (Pallas "
+    "dequant-in-VMEM kernel) — halves the dominant weight stream. "
+    "Defaults to tpu.quantize_mid from the config.",
+)
+@click.option(
     "--format", "output_format", default=None,
     type=click.Choice(["npz", "parquet"]),
     help="Output format; inferred from the output file suffix by default",
 )
-def predict(config_path, checkpoint_path, output_file, num_steps, num_batches, use_ema, output_format):
+def predict(config_path, checkpoint_path, output_file, num_steps, num_batches, use_ema, quantize_mid, output_format):
     """Deconvolute dataset windows with a trained model.
 
     Writes NPZ by default, or parquet (one row per prediction batch with
@@ -199,6 +208,17 @@ def predict(config_path, checkpoint_path, output_file, num_steps, num_batches, u
         raise click.ClickException(f"Checkpoint not found: {checkpoint_path}")
     state = ckpt["state"]
     params = state.get("ema_params") if use_ema and state.get("ema_params") else state["params"]
+
+    if quantize_mid is None:
+        quantize_mid = bool(config["tpu"].get("quantize_mid"))
+    if quantize_mid:
+        if config["model"]["use_model"] != "UNet1d":
+            raise click.ClickException("--quantize-mid only applies to UNet1d")
+        from .ops.quantization import quantize_mid_block_params
+
+        model = model.clone(quantize_mid=True)
+        params = quantize_mid_block_params(params)
+        click.echo("Info: int8 mid-block convolutions enabled")
 
     dataset = build_dataset(config)
     sampler = DDIMSampler(model, process)

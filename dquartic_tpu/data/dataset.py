@@ -217,7 +217,7 @@ class _ShuffleBufferStream:
             ea, eb = self.buffer[a], self.buffer[b]
             self._advance(a)
             self._advance(b)
-            return ea[1], ea[2], eb[1], eb[2]
+            return ea[1], ea[2], eb[1], eb[2], (ia, ib)
         raise RuntimeError(
             "Exhausted distinct pairs for this epoch; call reset_epoch()."
         )
@@ -272,6 +272,10 @@ class DIAMSDataset:
         self.rng = np.random.default_rng(seed)
         self.used_pairs: set = set()
         self.epoch_reset = False
+        # global row indices of the most recent sample_pair() draw, so
+        # consumers (PredictionLoggingHook) can fetch the drawn rows'
+        # physical axes via axes_for()
+        self.last_indices: Optional[Tuple[int, int]] = None
 
     # -- reference-compatible surface ---------------------------------- #
 
@@ -294,9 +298,15 @@ class DIAMSDataset:
     def axes(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """Real (RT seconds, m/z) axis values for plotting, when the
         backing store carries them (parquet slices do; NPY files don't)."""
+        return self.axes_for(0)
+
+    def axes_for(self, idx: int) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Per-row (RT seconds, m/z) axis values for global row ``idx``.
+        Slices carry individual rt/m-z windows (SLICE_SCHEMA), so plots of
+        a drawn pair must use that row's axes, not row 0's."""
         if self.data_type == "parquet":
             try:
-                return self.store.axes(0)
+                return self.store.axes(idx)
             except Exception:
                 return None
         return None
@@ -334,9 +344,11 @@ class DIAMSDataset:
 
     def sample_pair(self):
         if self.stream is not None:
-            ms1_1, ms2_1, ms1_2, ms2_2 = self.stream.draw_pair(self.used_pairs)
+            ms1_1, ms2_1, ms1_2, ms2_2, idx = self.stream.draw_pair(self.used_pairs)
+            self.last_indices = idx
         else:
             i, j = self._draw_indices()
+            self.last_indices = (i, j)
             ms1_1, ms2_1 = self._fetch(i)
             ms1_2, ms2_2 = self._fetch(j)
 

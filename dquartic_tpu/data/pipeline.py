@@ -42,12 +42,15 @@ class prefetch_iterator:
             self.inner.reset_epoch()
 
     def _put(self, batch: Any) -> Any:
+        def to_dev(x, sh=None):
+            if isinstance(x, jax.Array):  # committed already: reshard on device
+                return x if sh is None else jax.device_put(x, sh)
+            return jax.device_put(np.asarray(x), sh) if sh is not None else jax.device_put(np.asarray(x))
+
         if self.mesh is not None:
             sh = batch_sharding(self.mesh)
-            return jax.tree_util.tree_map(
-                lambda x: jax.device_put(np.asarray(x), sh), batch
-            )
-        return jax.tree_util.tree_map(lambda x: jax.device_put(np.asarray(x)), batch)
+            return jax.tree_util.tree_map(lambda x: to_dev(x, sh), batch)
+        return jax.tree_util.tree_map(to_dev, batch)
 
     def __iter__(self) -> Iterator[Any]:
         q: "queue.Queue" = queue.Queue(maxsize=self.size)

@@ -131,6 +131,7 @@ class LinearAttention(nn.Module):
 
         impl = self.impl
         min_seq = int(os.environ.get("DQUARTIC_LINATTN_MIN_SEQ", "2048"))
+        auto_resolved = impl == "auto"
         if impl == "auto":
             env = os.environ.get("DQUARTIC_LINATTN_IMPL")
             impl = env if env in ("pallas", "pallas_t", "xla") else (
@@ -138,8 +139,9 @@ class LinearAttention(nn.Module):
             )
         # kernels only pay off on long sequences: measured v5e crossover
         # vs XLA is ~2048-5000 (scripts/bench_linattn_variants.py) — below it
-        # the per-call floor dominates and XLA wins.
-        if impl != "xla" and x.shape[1] < min_seq:
+        # the per-call floor dominates and XLA wins. The floor applies only
+        # to auto/env dispatch; an explicit module-level impl= always wins.
+        if auto_resolved and impl != "xla" and x.shape[1] < min_seq:
             impl = "xla"
 
         if impl in ("pallas", "pallas_t"):

@@ -95,11 +95,48 @@ def conv1d(
     )
 
 
+class Int8Conv1d(nn.Module):
+    """Same-padding conv1d with int8 weights + per-channel scales.
+
+    Inference-time replacement for the mid-block ``conv1d`` whose weight
+    stream is the forward pass's measured HBM floor (BENCH_NOTES.md): the
+    Pallas kernel in :mod:`dquartic_tpu.ops.int8_matmul` streams half the
+    bytes and dequantizes in VMEM. Parameters are the *stored* padded
+    layout (``kernel_q`` (K_pad, N_pad) int8, ``kernel_scale`` (N_pad,)
+    f32, ``bias``); convert a trained f32 tree with
+    :func:`dquartic_tpu.ops.quantization.quantize_mid_block_params`.
+    """
+
+    features: int
+    kernel: int = 3
+    impl: str = "auto"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.int8_matmul import int8_conv1d, quant_pad_dims
+
+        cin = x.shape[-1]
+        k_pad, n_pad = quant_pad_dims(self.kernel * cin, self.features)
+        w_q = self.param(
+            "kernel_q", nn.initializers.zeros, (k_pad, n_pad), jnp.int8
+        )
+        scale = self.param(
+            "kernel_scale", nn.initializers.ones, (n_pad,), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return int8_conv1d(
+            x.astype(self.dtype), w_q, scale, bias, self.kernel, self.features,
+            impl=self.impl,
+        )
+
+
 class Block(nn.Module):
     """conv3 -> RMSNorm -> (FiLM) -> SiLU -> dropout (unet1d.py:223-268)."""
 
     dim_out: int
     dropout: float = 0.0
+    quantize_weights: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -109,7 +146,10 @@ class Block(nn.Module):
         scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        x = conv1d(self.dim_out, 3, padding=1, dtype=self.dtype, name="proj")(x)
+        if self.quantize_weights:
+            x = Int8Conv1d(self.dim_out, 3, dtype=self.dtype, name="proj")(x)
+        else:
+            x = conv1d(self.dim_out, 3, padding=1, dtype=self.dtype, name="proj")(x)
         x = RMSNorm(self.dim_out, dtype=self.dtype, name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift
@@ -133,6 +173,7 @@ class ResnetBlock(nn.Module):
     dim_out: int
     time_emb_dim: Optional[int] = None
     dropout: float = 0.0
+    quantize_weights: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -150,10 +191,14 @@ class ResnetBlock(nn.Module):
             h = h[:, None, :]  # (b, 1, 2C) — broadcast over length
             scale_shift = tuple(jnp.split(h, 2, axis=-1))
 
-        h = Block(self.dim_out, dropout=self.dropout, dtype=self.dtype, name="block1")(
-            x, scale_shift=scale_shift, deterministic=deterministic
-        )
-        h = Block(self.dim_out, dtype=self.dtype, name="block2")(h)
+        h = Block(
+            self.dim_out, dropout=self.dropout,
+            quantize_weights=self.quantize_weights, dtype=self.dtype, name="block1",
+        )(x, scale_shift=scale_shift, deterministic=deterministic)
+        h = Block(
+            self.dim_out, quantize_weights=self.quantize_weights,
+            dtype=self.dtype, name="block2",
+        )(h)
 
         if x.shape[-1] != self.dim_out:
             res = conv1d(self.dim_out, 1, dtype=self.dtype, name="res_conv")(x)

@@ -76,6 +76,13 @@ class UNet1d(nn.Module):
     # mesh that defines those axes; None = no constraints (default).
     activation_sharding: Optional[Tuple[str, str]] = None
     dtype: Dtype = jnp.float32
+    # Run the mid-block convolutions with int8 weights dequantized inside
+    # a Pallas kernel (ops/int8_matmul.py). These 4 convs hold ~1.2B of
+    # the canonical model's 1.206B params and are the forward pass's
+    # measured weight-bound floor; int8 halves the stream. Inference-only
+    # (no custom vjp): convert a trained tree with
+    # ops.quantization.quantize_mid_block_params.
+    quantize_mid: bool = False
     # Rematerialize ResNet blocks in the backward pass: trades FLOPs for
     # HBM so full-resolution windows (e.g. rt=340 x mz=30000 from the
     # reference's production data-gen settings, run_data_gen.sh) fit.
@@ -250,7 +257,8 @@ class UNet1d(nn.Module):
         mid_ch = mid_dim * mzp
 
         x = ResBlock(
-            mid_ch, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype, name="mid_block1"
+            mid_ch, time_emb_dim=time_dim, dropout=self.dropout,
+            quantize_weights=self.quantize_mid, dtype=dtype, name="mid_block1",
         )(x, t, deterministic)
 
         xn = RMSNorm(mid_ch, dtype=dtype, name="mid_attn_norm")(x)
@@ -280,7 +288,8 @@ class UNet1d(nn.Module):
         x = x + attn_out
 
         x = ResBlock(
-            mid_ch, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype, name="mid_block2"
+            mid_ch, time_emb_dim=time_dim, dropout=self.dropout,
+            quantize_weights=self.quantize_mid, dtype=dtype, name="mid_block2",
         )(x, t, deterministic)
 
         x = x.reshape(b, rt, mid_dim, mzp).transpose(0, 1, 3, 2).reshape(b * rt, mzp, mid_dim)

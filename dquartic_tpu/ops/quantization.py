@@ -112,6 +112,44 @@ def quantized_nbytes(tree: Any) -> int:
     )
 
 
+def quantize_mid_block_params(variables: Any) -> Any:
+    """Convert a trained UNet1d tree for ``UNet1d(quantize_mid=True)``.
+
+    Replaces each mid-block conv (``mid_block{1,2}/block{1,2}/proj``:
+    {kernel (k, C_in, C_out), bias}) with the stored int8 layout
+    ({kernel_q (K_pad, N_pad) int8, kernel_scale (N_pad,) f32, bias})
+    the :class:`~dquartic_tpu.models.layers.Int8Conv1d` module declares.
+    These four convs hold ~1.2B of the canonical model's 1.206B params;
+    everything else passes through unchanged. Accepts either the full
+    ``{"params": ...}`` variables dict or the params subtree.
+    """
+    from .int8_matmul import quantize_conv_kernel
+
+    import flax
+
+    tree = flax.core.unfreeze(variables) if hasattr(variables, "unfreeze") else variables
+
+    def convert_proj(proj: Dict[str, Any]) -> Dict[str, Any]:
+        q, scale = quantize_conv_kernel(jnp.asarray(proj["kernel"]))
+        out = {"kernel_q": q, "kernel_scale": scale}
+        if "bias" in proj:
+            out["bias"] = jnp.asarray(proj["bias"])
+        return out
+
+    def walk(node, in_mid=False):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if in_mid and k == "proj" and isinstance(v, dict) and "kernel" in v:
+                out[k] = convert_proj(v)
+            else:
+                out[k] = walk(v, in_mid or k.startswith("mid_block"))
+        return out
+
+    return walk(tree)
+
+
 def stochastic_round_to_int8(x: jnp.ndarray, key: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stochastic-rounding int8 quantization (training-friendly variant).
 

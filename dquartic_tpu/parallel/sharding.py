@@ -66,8 +66,24 @@ def shardings_for_tree(
 
 
 def shard_batch(batch: Any, mesh: Optional[Mesh]) -> Any:
-    """Device-put a host batch with its leading axis split over ``dp``."""
+    """Batch (host or device) -> leading axis split over ``dp``.
+
+    Arrays that are already ``jax.Array``s (e.g. committed by the mesh-
+    aware prefetcher) are *resharded on device* with ``jax.device_put`` —
+    never pulled back through the host, which on a tunneled TPU would
+    cost ~4 orders of magnitude more than the step itself (BENCH_NOTES.md
+    chip calibration). Already-correctly-sharded arrays pass through
+    untouched, so the hot path is a no-op.
+    """
     if mesh is None:
         return batch
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(np.asarray(x), sh), batch)
+
+    def put(x):
+        if isinstance(x, jax.Array):
+            if x.sharding == sh:
+                return x
+            return jax.device_put(x, sh)
+        return jax.device_put(np.asarray(x), sh)
+
+    return jax.tree_util.tree_map(put, batch)

@@ -63,8 +63,11 @@ def build_process(config: Dict[str, Any]) -> DDIMProcess:
         parity_neighbor_stepping=not config["tpu"].get("ddim_proper_stepping", False),
         # standard clip_denoised, on by default (the reference's unclipped
         # reverse pass is numerically explosive — core/diffusion.py);
-        # tpu.clip_denoised=false restores exact reference behavior.
-        clip_denoised=config["tpu"].get("clip_denoised", True),
+        # tpu.clip_denoised=false restores exact reference behavior. The
+        # [-1, 1] clamp band is only meaningful under auto_normalize, so
+        # with auto_normalize=false (unnormalized data) the default flips
+        # off rather than silently truncating valid values.
+        clip_denoised=config["tpu"].get("clip_denoised", bool(m["auto_normalize"])),
     )
 
 
@@ -96,7 +99,10 @@ def build_mesh(config: Dict[str, Any], batch_size: Optional[int] = None):
     return make_mesh(dp=dp, sp=sp, tp=tp, devices=jax.devices()[: dp * sp * tp])
 
 
-def build_dataset(config: Dict[str, Any], seed: int = 0):
+def build_dataset(config: Dict[str, Any], seed: int = 0, mesh=None):
+    """Dataset pipeline; pass the trainer's ``mesh`` so prefetched batches
+    commit directly into the dp sharding (otherwise the trainer's
+    ``shard_batch`` would have to reshard every batch)."""
     d = config["data"]
     dataset = DIAMSDataset(
         parquet_directory=d["parquet_directory"],
@@ -106,7 +112,7 @@ def build_dataset(config: Dict[str, Any], seed: int = 0):
         seed=seed,
     )
     batches = PairBatches(dataset, batch_size=config["model"]["batch_size"])
-    return prefetch_iterator(batches, size=config["tpu"]["prefetch"])
+    return prefetch_iterator(batches, size=config["tpu"]["prefetch"], mesh=mesh)
 
 
 def build_trainer(

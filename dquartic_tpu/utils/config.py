@@ -25,6 +25,10 @@ TPU_DEFAULTS: Dict[str, Any] = {
     "sample_num_steps": 50,
     "prediction_num_steps": [100, 500, 1000],
     "log_predictions": False,
+    # Inference-time int8 mid-block convs (Pallas dequant-in-VMEM kernel,
+    # ops/int8_matmul.py): halves the dominant weight stream of the
+    # canonical UNet1d forward. Used by `predict`; training is unaffected.
+    "quantize_mid": False,
 }
 
 _OVERRIDE_KEYS = {

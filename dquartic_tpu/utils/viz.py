@@ -194,8 +194,17 @@ class PredictionLoggingHook:
         self.use_ema = use_ema
         self.seed = seed
         self.backend = backend
-        axes = dataset.axes() if hasattr(dataset, "axes") else None
-        self.rt_axis, self.mz_axis = axes if axes is not None else (None, None)
+
+    def _axes_for_drawn_row(self):
+        """Axes of the window actually plotted: slices carry per-row
+        rt/m-z bounds, so the drawn row's axes (dataset.last_indices)
+        are fetched after each sample_pair(); index axes otherwise."""
+        idx = getattr(self.dataset, "last_indices", None)
+        if idx is not None and hasattr(self.dataset, "axes_for"):
+            axes = self.dataset.axes_for(idx[0])
+            if axes is not None:
+                return axes
+        return None, None
 
     def __call__(self, epoch: int, best_loss: float, state) -> None:
         import jax
@@ -207,6 +216,7 @@ class PredictionLoggingHook:
             else state.params
         )
         ms2_1, ms1_1, ms2_2, _ = self.dataset.sample_pair()
+        rt_axis, mz_axis = self._axes_for_drawn_row()
         w0, w1 = self.mixture_weights
         ms2_cond = w0 * ms2_1 + w1 * ms2_2
         x0 = jnp.asarray(ms2_1)[None]
@@ -232,8 +242,8 @@ class PredictionLoggingHook:
                 np.asarray(pred_noise[0]),
                 out_dir=self.out_dir,
                 prefix=f"e{epoch}_s{ns}_",
-                rt_axis=self.rt_axis,
-                mz_axis=self.mz_axis,
+                rt_axis=rt_axis,
+                mz_axis=mz_axis,
                 backend=self.backend,
             )
             rows.append([ns, epoch, best_loss, cos] + paths)

@@ -39,7 +39,7 @@ def _write_parquet(tmp_path, n=10, rt=4, mz=16):
                 "ms2_data": ms2.flatten().tolist(),
                 "ms1_shape": list(ms1.shape),
                 "ms2_shape": list(ms2.shape),
-                "rt_values": (100.0 + np.arange(rt, dtype=np.float32)).tolist(),
+                "rt_values": (100.0 + 10.0 * i + np.arange(rt, dtype=np.float32)).tolist(),
                 "mz_values_ms1": [0.0] * 3,
                 "mz_values_ms2": np.linspace(400.0, 1200.0, mz, dtype=np.float32).tolist(),
             }
@@ -179,6 +179,22 @@ def test_parquet_axes_exposed(tmp_path):
     rt, mz = axes
     np.testing.assert_allclose(rt, 100.0 + np.arange(4))
     np.testing.assert_allclose(mz, np.linspace(400.0, 1200.0, 16))
+
+
+def test_last_indices_and_per_row_axes(tmp_path):
+    """sample_pair() records the drawn global rows and axes_for() returns
+    that row's physical axes — slices carry per-row RT windows, so plots
+    must not use row 0's axes (advisor round-2 finding)."""
+    _write_parquet(tmp_path, n=8)
+    for kwargs in ({"shuffle_buffer": 4}, {"streaming": False}):
+        ds = DIAMSDataset(parquet_directory=str(tmp_path), normalize=None, **kwargs)
+        assert ds.last_indices is None
+        ds.sample_pair()
+        i, j = ds.last_indices
+        assert i != j
+        rt_i, mz_i = ds.axes_for(i)
+        np.testing.assert_allclose(rt_i, 100.0 + 10.0 * i + np.arange(4))
+        np.testing.assert_allclose(mz_i, np.linspace(400.0, 1200.0, 16))
 
 
 def test_npy_axes_none(npy_dataset):

@@ -1,0 +1,153 @@
+"""Int8 weight-streaming matmul / conv kernel tests.
+
+The kernel (ops/int8_matmul.py) realizes the reference's int8
+post-training quantization capability (nbs/quantization_experiment.ipynb)
+as a latency optimization: weights stream from HBM as int8 and are
+dequantized inside VMEM. Tests pin the Pallas kernel (interpret mode on
+CPU) to the XLA oracle, the conv wrapper to a dense conv with dequantized
+weights, and quantify the end-to-end output drift of the quantized mid
+blocks against the f32 model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dquartic_tpu.ops.int8_matmul import (
+    BLOCK_K,
+    BLOCK_N,
+    int8_conv1d,
+    int8_matmul,
+    int8_matmul_reference,
+    quant_pad_dims,
+    quantize_conv_kernel,
+    quantize_weight_matrix,
+)
+
+
+def test_quant_pad_dims():
+    assert quant_pad_dims(1, 1) == (BLOCK_K, BLOCK_N)
+    assert quant_pad_dims(BLOCK_K, BLOCK_N) == (BLOCK_K, BLOCK_N)
+    assert quant_pad_dims(3 * 10000, 10000) == (
+        -(-30000 // BLOCK_K) * BLOCK_K,
+        -(-10000 // BLOCK_N) * BLOCK_N,
+    )
+
+
+def test_quantize_weight_matrix_roundtrip():
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(100, 70)).astype(np.float32)
+    q, scale = quantize_weight_matrix(jnp.asarray(w))
+    assert q.dtype == jnp.int8 and q.shape == quant_pad_dims(100, 70)
+    # dequantized values within half a quantization step of the original
+    deq = np.asarray(q, np.float32)[:100, :70] * np.asarray(scale)[None, :70]
+    step = np.abs(w).max(axis=0) / 127.0
+    assert np.all(np.abs(deq - w) <= 0.5 * step[None, :] + 1e-7)
+    # padding rows/cols are exact zeros with scale 1
+    assert np.all(np.asarray(q)[100:] == 0)
+    assert np.all(np.asarray(q)[:, 70:] == 0)
+    assert np.all(np.asarray(scale)[70:] == 1.0)
+
+
+@pytest.mark.parametrize("m,k,n", [(34, 100, 70), (16, 512, 1024), (7, 1537, 130)])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_int8_matmul_matches_reference(m, k, n, dtype):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32), dtype)
+    w = rng.normal(size=(k, n)).astype(np.float32)
+    q, scale = quantize_weight_matrix(jnp.asarray(w))
+    out = int8_matmul(x, q, scale)
+    ref = int8_matmul_reference(x, q, scale)
+    assert out.shape == ref.shape == (m, q.shape[1])
+    # blocked K accumulation reorders f32 sums vs the single-dot oracle
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_int8_conv1d_matches_dense_conv():
+    """Conv wrapper == lax 1-D conv with the dequantized weights."""
+    rng = np.random.default_rng(2)
+    b, length, cin, cout, kernel = 2, 34, 24, 40, 3
+    x = jnp.asarray(rng.normal(size=(b, length, cin)).astype(np.float32))
+    w = rng.normal(size=(kernel, cin, cout)).astype(np.float32)
+    bias = rng.normal(size=(cout,)).astype(np.float32)
+    q, scale = quantize_conv_kernel(jnp.asarray(w))
+
+    out = int8_conv1d(x, q, scale, jnp.asarray(bias), kernel, cout)
+
+    # oracle: same-padding conv with the dequantized kernel
+    k_log = kernel * cin
+    deq = (np.asarray(q, np.float32)[:k_log, :cout] * np.asarray(scale)[None, :cout])
+    deq = deq.reshape(kernel, cin, cout)
+    ref = jax.lax.conv_general_dilated(
+        x, jnp.asarray(deq), (1,), [(1, 1)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + bias[None, None]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_unet_quantize_mid_drift():
+    """UNet1d(quantize_mid=True) with a converted tree stays close to the
+    f32 model — quantization drift quantified end to end."""
+    from dquartic_tpu.models import UNet1d
+    from dquartic_tpu.ops.quantization import quantize_mid_block_params
+
+    model = UNet1d(
+        dim=4, channels=1, dim_mults=(1, 2), conditional=True,
+        init_cond_channels=1, attn_cond_channels=1, downsample_dim=64,
+    )
+    b, rt, mz = 1, 4, 64
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(b, rt, mz)).astype(np.float32))
+    t = jnp.zeros((b,), jnp.int32)
+    ic = x * 0.5
+    ac = jnp.asarray(np.random.default_rng(4).uniform(size=(b, rt)).astype(np.float32))
+
+    params = model.init(jax.random.PRNGKey(0), x, t, ic, ac)
+    out_f32 = model.apply(params, x, t, ic, ac)
+
+    qmodel = model.clone(quantize_mid=True)
+    qparams = quantize_mid_block_params(params)
+    # converted tree must match the quantized model's declared structure
+    expect = jax.tree_util.tree_structure(
+        qmodel.init(jax.random.PRNGKey(0), x, t, ic, ac)
+    )
+    assert jax.tree_util.tree_structure(qparams) == expect
+    out_q = qmodel.apply(qparams, x, t, ic, ac)
+
+    a = np.asarray(out_f32).ravel()
+    bq = np.asarray(out_q).ravel()
+    cos = float(a @ bq / (np.linalg.norm(a) * np.linalg.norm(bq) + 1e-12))
+    rel = float(np.linalg.norm(a - bq) / (np.linalg.norm(a) + 1e-12))
+    assert cos > 0.999, f"cosine {cos}"
+    assert rel < 0.05, f"relative error {rel}"
+
+
+def test_quantize_mid_block_params_leaves_rest_untouched():
+    from dquartic_tpu.models import UNet1d
+    from dquartic_tpu.ops.quantization import quantize_mid_block_params
+
+    model = UNet1d(
+        dim=4, channels=1, dim_mults=(1, 2), conditional=True,
+        init_cond_channels=1, attn_cond_channels=1, downsample_dim=64,
+    )
+    x = jnp.zeros((1, 4, 64))
+    params = model.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32), x, jnp.zeros((1, 4))
+    )
+    q = quantize_mid_block_params(params)
+    p = params["params"]
+    qp = q["params"]
+    # untouched: everything outside mid_block*/block*/proj
+    np.testing.assert_array_equal(
+        np.asarray(qp["init_conv"]["kernel"]), np.asarray(p["init_conv"]["kernel"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(qp["mid_block1"]["mlp"]["kernel"]),
+        np.asarray(p["mid_block1"]["mlp"]["kernel"]),
+    )
+    # converted: proj holds the int8 layout
+    proj = qp["mid_block2"]["block2"]["proj"]
+    assert set(proj) == {"kernel_q", "kernel_scale", "bias"}
+    assert proj["kernel_q"].dtype == jnp.int8

@@ -152,6 +152,35 @@ def test_module_pallas_t_impl_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), rtol=2e-4, atol=5e-5)
 
 
+def test_explicit_impl_ignores_min_seq_floor(monkeypatch):
+    """An explicit module-level impl= must engage the kernel even below
+    the auto-dispatch min_seq floor (advisor round 2: the floor previously
+    silently overrode impl='pallas_t' at short N)."""
+    import dquartic_tpu.ops.linear_attention as la
+
+    called = {}
+    real = la.fused_linear_attention_t
+
+    def spy(*args, **kwargs):
+        called["t"] = True
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(la, "fused_linear_attention_t", spy)
+    monkeypatch.delenv("DQUARTIC_LINATTN_MIN_SEQ", raising=False)
+    C, heads, dim_head = 8, 2, 16
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 128, C)).astype(np.float32))
+    m = LinearAttention(dim=C, heads=heads, dim_head=dim_head, impl="pallas_t")
+    params = m.init(jax.random.PRNGKey(0), x)
+    m.apply(params, x)  # N=128 < 2048 default floor
+    assert called.get("t"), "explicit impl='pallas_t' fell back to XLA"
+
+    # auto dispatch below the floor must still resolve to XLA
+    called.clear()
+    m_auto = LinearAttention(dim=C, heads=heads, dim_head=dim_head, impl="auto")
+    m_auto.apply(params, x)
+    assert "t" not in called or jax.default_backend() == "tpu"
+
+
 def _bwd_truth_f64(x, w_qkv, w_out, b_out, g, dy, heads, dh):
     """Float64 numpy oracle for the linear-attention backward (validated
     against a float64 jax.vjp to 1e-14; the *f32* XLA vjp deviates from

@@ -148,6 +148,57 @@ def test_sharded_sampler():
     np.testing.assert_allclose(np.asarray(x0), np.asarray(x0_ref), rtol=2e-4, atol=1e-5)
 
 
+def test_mesh_prefetch_feeds_without_host_roundtrip():
+    """Regression (round-2 weak #3): a batch committed by the mesh-aware
+    prefetcher must flow through _device_batch/shard_batch and the train
+    step with NO device->host transfer. jax.transfer_guard("disallow")
+    turns any implicit host round-trip (the old np.asarray pullback in
+    shard_batch) into an error."""
+    import optax
+
+    from dquartic_tpu.data.pipeline import prefetch_iterator
+    from dquartic_tpu.parallel import shard_batch
+
+    mesh = make_mesh(dp=2, tp=1, devices=jax.devices()[:2])
+    model = UNet1d(**TINY_MODEL)
+    process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
+    trainer = Trainer(
+        model, process, optimizer=optax.chain(optax.clip_by_global_norm(10.0)),
+        mesh=mesh, seed=0,
+    )
+    batch_np = make_batch(b=2)
+    state = trainer.init_state(batch_np)
+    step_fn = trainer.train_step  # build (and compile-trigger args below) first
+    from dquartic_tpu.parallel.sharding import replicated_sharding
+
+    rep = replicated_sharding(mesh)
+    lr = jax.device_put(jnp.float32(1e-3), rep)
+    rng = jax.device_put(jax.random.PRNGKey(0), rep)
+
+    class Batches:
+        def __iter__(self):
+            yield batch_np
+
+        def __len__(self):
+            return 1
+
+    pre = prefetch_iterator(Batches(), size=1, mesh=mesh)
+    (committed,) = list(pre)
+    assert all(
+        "dp" in str(v.sharding.spec) for v in committed.values()
+    ), "prefetcher must commit into the dp sharding"
+
+    with jax.transfer_guard("disallow"):
+        dev_batch = trainer._device_batch(committed)
+        # already correctly sharded: passes through untouched
+        assert dev_batch["ms2_1"] is committed["ms2_1"]
+        resharded = shard_batch(committed, mesh)  # no-op reshard, no host trip
+        assert resharded["ms2_1"] is committed["ms2_1"]
+        state, metrics = step_fn(state, dev_batch, lr, rng)
+        assert metrics["loss"].shape == ()
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_dp_sp_tp_mesh_with_activation_sharding(tmp_path):
     """Full 3-axis mesh: batch over dp, m/z activations over sp, wide
     kernels over tp — numerically equal to single-device."""

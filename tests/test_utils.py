@@ -155,6 +155,29 @@ def test_build_process_stepping_flag():
     assert p2.parity_neighbor_stepping is False
 
 
+def test_clip_denoised_default_gated_on_auto_normalize():
+    """The [-1, 1] clip_denoised band only makes sense for normalized
+    data: with auto_normalize=false the default must flip off instead of
+    silently truncating valid unnormalized values (advisor round 2)."""
+    from dquartic_tpu.utils.config import _apply_defaults
+
+    base = {
+        "model": {
+            "num_timesteps": 10, "beta_schedule_type": "cosine",
+            "pred_type": "eps", "auto_normalize": True, "ms1_loss_weight": 0.0,
+        }
+    }
+    assert build_process(_apply_defaults(dict(base))).clip_denoised is True
+
+    cfg = _apply_defaults({"model": {**base["model"], "auto_normalize": False}})
+    assert build_process(cfg).clip_denoised is False
+
+    # explicit config always wins over the gate
+    cfg2 = _apply_defaults({"model": {**base["model"], "auto_normalize": False}})
+    cfg2["tpu"]["clip_denoised"] = True
+    assert build_process(cfg2).clip_denoised is True
+
+
 def test_predictions_parquet_round_trip(tmp_path):
     from dquartic_tpu.infer.sampler import (
         load_predictions_parquet,
