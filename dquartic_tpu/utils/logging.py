@@ -70,9 +70,23 @@ class WandbLogger(NoOpLogger):
         self._wandb.log(metrics, commit=commit)
 
     def log_table(self, name: str, columns, rows) -> None:
+        """Table parity with the reference (model_interface.py:757-794):
+        cells that are paths to rendered image files become wandb.Image
+        objects so the wandb UI shows the plots, not filenames. Non-image
+        cells (and non-existent paths) pass through unchanged."""
+
+        def cell(v):
+            if (
+                isinstance(v, str)
+                and v.lower().endswith((".png", ".jpg", ".jpeg", ".gif"))
+                and os.path.exists(v)
+            ):
+                return self._wandb.Image(v)
+            return v
+
         table = self._wandb.Table(columns=list(columns))
         for row in rows:
-            table.add_data(*row)
+            table.add_data(*[cell(v) for v in row])
         self._wandb.log({name: table}, commit=False)
 
     def finish(self) -> None:

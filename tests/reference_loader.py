@@ -53,6 +53,35 @@ def _install_rotary_shim() -> None:
     sys.modules["rotary_embedding_torch"] = mod
 
 
+def _install_wandb_stub() -> None:
+    """model_interface.py imports wandb at module level but only *calls*
+    it when use_wandb is on; a bare stub satisfies the import."""
+    if "wandb" in sys.modules:
+        return
+    mod = types.ModuleType("wandb")
+    mod.log = lambda *a, **k: None
+    mod.Image = object
+    mod.Table = object
+    sys.modules["wandb"] = mod
+
+
+def load_reference_ddim():
+    """Import the reference DDIMDiffusionModel with its real package
+    context (model.py's relative import of model_interface), so tests can
+    *train and sample with the actual reference implementation*
+    (model.py:151-406) rather than formula re-derivations."""
+    _install_rotary_shim()
+    _install_wandb_stub()
+    if "refpkg.model" in sys.modules:
+        return sys.modules["refpkg.model"]
+    import importlib
+
+    pkg = types.ModuleType("refpkg")
+    pkg.__path__ = [REF_MODEL_DIR]
+    sys.modules.setdefault("refpkg", pkg)
+    return importlib.import_module("refpkg.model")
+
+
 def load_reference_module(filename: str, modname: str):
     """Import ``/root/reference/dquartic/model/<filename>`` as ``modname``."""
     if modname in sys.modules:

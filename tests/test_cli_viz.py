@@ -118,6 +118,43 @@ def test_cli_train_and_predict(tiny_config):
     assert any(k.startswith("pred_") for k in data.files)
 
 
+def test_wandb_logger_wraps_image_paths(tmp_path, monkeypatch):
+    """wandb tables render plots as wandb.Image, not filename strings
+    (reference model_interface.py:757-794 parity)."""
+    import sys
+    import types
+
+    logged = []
+
+    class FakeTable:
+        def __init__(self, columns):
+            self.columns, self.rows = columns, []
+
+        def add_data(self, *row):
+            self.rows.append(row)
+
+    class FakeImage:
+        def __init__(self, path):
+            self.path = path
+
+    fake = types.ModuleType("wandb")
+    fake.Table, fake.Image = FakeTable, FakeImage
+    fake.init = lambda **k: None
+    fake.log = lambda m, commit=True: logged.append(m)
+    fake.finish = lambda: None
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from dquartic_tpu.utils.logging import WandbLogger
+
+    lg = WandbLogger()
+    img = tmp_path / "panel.png"
+    img.write_bytes(b"\x89PNG")
+    lg.log_table("t", ["epoch", "img"], [[1, str(img)], [2, str(tmp_path / "missing.png")]])
+    tbl = logged[0]["t"]
+    assert isinstance(tbl.rows[0][1], FakeImage) and tbl.rows[0][1].path == str(img)
+    assert tbl.rows[1][1] == str(tmp_path / "missing.png")  # absent file passes through
+
+
 def test_viz_hook(tmp_path):
     import jax.numpy as jnp
 

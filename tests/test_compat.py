@@ -461,6 +461,98 @@ def test_unet_full_forward_matches_reference_module():
     np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
 
 
+def test_trained_reference_checkpoint_sampling_parity():
+    """Train the ACTUAL reference torch UNet1d via the reference's own
+    DDIMDiffusionModel.train_step for a few dozen steps, convert the
+    trained weights, and assert full multi-step *sampling* parity
+    (model.py:293-324 vs core.diffusion.DDIMProcess.sample) — the end-to-
+    end closure of the converter + RoPE + DDIM-algebra contract on real
+    trained (non-random) weights."""
+    from reference_loader import load_reference_ddim
+
+    from dquartic_tpu.core import DDIMProcess, make_schedule
+
+    ref_unet = load_reference_module("unet1d.py", "ref_unet1d")
+    ref_model = load_reference_ddim()
+
+    torch.manual_seed(0)
+    kwargs = dict(
+        dim=4, channels=1, dim_mults=(1, 2), conditional=True,
+        init_cond_channels=1, attn_cond_channels=1, downsample_dim=64,
+        simple=True,
+    )
+    net = ref_unet.UNet1d(**kwargs)
+    T = 20
+    ddim = ref_model.DDIMDiffusionModel(
+        net, num_timesteps=T, beta_schedule_type="cosine", pred_type="eps",
+        auto_normalize=True, ms1_loss_weight=0.0, device="cpu",
+    )
+
+    b, rt, mz = 1, 6, 64
+    gen = np.random.default_rng(0)
+    ms2_1 = torch.tensor(gen.uniform(0, 1, (b, rt, mz)).astype(np.float32))
+    ms2_2 = torch.tensor(gen.uniform(0, 1, (b, rt, mz)).astype(np.float32))
+    ms1_1 = torch.tensor(gen.uniform(0, 1, (b, rt)).astype(np.float32))
+    ms2_cond = 0.5 * ms2_1 + 0.5 * ms2_2
+
+    # a few dozen reference train steps (model_interface.py:1090-1123 core)
+    opt = torch.optim.AdamW(net.parameters(), lr=1e-3)
+    net.train()
+    torch.manual_seed(1)
+    for _ in range(30):
+        opt.zero_grad()
+        loss = ddim.train_step(ms2_1, ms2_cond, ms1_1)
+        loss.mean().backward()
+        opt.step()
+    net.eval()
+
+    # convert the TRAINED weights
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params = convert_unet1d_state_dict(
+        sd, dim_mults=kwargs["dim_mults"], conditional=True, simple=True
+    )
+
+    # full 10-step reverse pass, identical inputs
+    x_t = torch.tensor(gen.normal(size=(b, rt, mz)).astype(np.float32))
+    with torch.no_grad():
+        x0_ref, noise_ref = ddim.sample(
+            x_t.clone(), ms2_cond.clone(), ms1_1.clone(), num_steps=10
+        )
+
+    model = UNet1d(**kwargs)
+    process = DDIMProcess(
+        schedule=make_schedule(T, "cosine", "eps"),
+        auto_normalize=True,
+        parity_neighbor_stepping=True,  # reference quirk (model.py:283-289)
+        clip_denoised=False,  # exact reference reverse pass
+    )
+
+    def denoise(x, t, ic, ac):
+        return model.apply(params, x, t, ic, ac)
+
+    x0, pred_noise = process.sample(
+        denoise,
+        jnp.asarray(x_t.numpy()),
+        jnp.asarray(ms2_cond.numpy()),
+        jnp.asarray(ms1_1.numpy()),
+        num_steps=10,
+    )
+
+    x0_np, ref_np = np.asarray(x0), x0_ref.numpy()
+    assert x0_np.shape == ref_np.shape
+    # 10 compounding net evaluations: f32 drift accumulates; demand
+    # near-identity rather than bitwise equality
+    np.testing.assert_allclose(x0_np, ref_np, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(pred_noise), noise_ref.numpy(), rtol=2e-3, atol=2e-3
+    )
+    cos = float(
+        (x0_np.ravel() @ ref_np.ravel())
+        / (np.linalg.norm(x0_np) * np.linalg.norm(ref_np) + 1e-12)
+    )
+    assert cos > 0.99999, cos
+
+
 def test_custom_transformer_full_forward_matches_reference_module():
     """Same loop for the legacy CustomTransformer (building_blocks.py:179-260).
 

@@ -63,6 +63,43 @@ def test_flash_bf16():
     )
 
 
+@pytest.mark.parametrize("n,m", [(200, 34), (130, 257), (520, 520)])
+def test_flash_blockwise_backward_matches_oracle(n, m, monkeypatch):
+    """The blockwise Pallas backward (default) == the einsum-recompute
+    oracle (DQUARTIC_FLASH_BWD=reference) on non-divisible / multi-block
+    shapes — the (n, n) matrix never exists in HBM on the default path."""
+    q, k, v = rand_qkv(b=1, h=2, n=n, m=m, seed=3)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    monkeypatch.delenv("DQUARTIC_FLASH_BWD", raising=False)
+    g_block = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("DQUARTIC_FLASH_BWD", "reference")
+    g_oracle = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_block, g_oracle):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_backward_bf16():
+    q, k, v = rand_qkv(b=1, h=2, n=100, m=100, seed=5)
+    qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v).astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v).astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(qb, kb, vb)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b), rtol=6e-2, atol=6e-2
+        )
+
+
 def test_dispatch_impl_selection():
     q, k, v = rand_qkv(n=16, m=16)
     out_auto = dot_product_attention(q, k, v, impl="auto")  # cpu -> xla
