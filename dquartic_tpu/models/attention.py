@@ -121,7 +121,17 @@ class LinearAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        g_pre: Optional[jnp.ndarray] = None,
+        residual: bool = False,
+    ) -> jnp.ndarray:
+        """``g_pre``/``residual`` fuse the model's norm -> attn -> +x
+        sandwich: with ``g_pre`` (the paired RMSNorm's gain) the input is
+        pre-normalized — inside the Pallas kernel on the pallas_t path,
+        saving two (N, C) HBM round trips — and ``residual`` adds the raw
+        input to the output."""
         import os
 
         hidden = self.heads * self.dim_head
@@ -144,19 +154,26 @@ class LinearAttention(nn.Module):
         if auto_resolved and impl != "xla" and x.shape[1] < min_seq:
             impl = "xla"
 
-        if impl in ("pallas", "pallas_t"):
-            from ..ops.linear_attention import (
-                fused_linear_attention,
-                fused_linear_attention_t,
-            )
+        if impl == "pallas_t":
+            from ..ops.linear_attention import fused_linear_attention_t
 
-            fn = fused_linear_attention_t if impl == "pallas_t" else fused_linear_attention
-            return fn(
+            return fused_linear_attention_t(
                 x.astype(self.dtype), w_qkv[0], w_out[0], b_out, g,
                 heads=self.heads, dim_head=self.dim_head,
+                g_pre=g_pre, residual=residual,
             )
+        if impl == "pallas":
+            from ..ops.linear_attention import fused_linear_attention
 
-        qkv = x.astype(self.dtype) @ w_qkv[0].astype(self.dtype)
+            xin = self._pre(x, g_pre)
+            out = fused_linear_attention(
+                xin.astype(self.dtype), w_qkv[0], w_out[0], b_out, g,
+                heads=self.heads, dim_head=self.dim_head,
+            )
+            return (x + out).astype(self.dtype) if residual else out
+
+        xin = self._pre(x, g_pre)
+        qkv = xin.astype(self.dtype) @ w_qkv[0].astype(self.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = (_split_heads(t, self.heads) for t in (q, k, v))  # (b, h, n, c)
 
@@ -185,6 +202,16 @@ class LinearAttention(nn.Module):
         x32 = out.astype(jnp.float32)
         norm = jnp.sqrt(jnp.sum(jnp.square(x32), axis=-1, keepdims=True))
         out = x32 / jnp.maximum(norm, 1e-12) * g * (self.dim**0.5)
+        out = out.astype(self.dtype)
+        return (x + out).astype(self.dtype) if residual else out
+
+    def _pre(self, x: jnp.ndarray, g_pre: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """Pre-RMSNorm for the non-fused paths (layers.RMSNorm math)."""
+        if g_pre is None:
+            return x
+        x32 = x.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(jnp.square(x32), axis=-1, keepdims=True))
+        out = x32 / jnp.maximum(norm, 1e-12) * g_pre * (self.dim**0.5)
         return out.astype(self.dtype)
 
 

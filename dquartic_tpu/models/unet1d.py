@@ -31,7 +31,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .attention import Attention, LinearAttention, Transformer1d
+from .attention import Attention, LinearAttention, RMSNormParam, Transformer1d
 from .layers import (
     ConditionalScaleShift,
     Downsample,
@@ -202,8 +202,10 @@ class UNet1d(nn.Module):
                 ac = conv1d(acid, 7, padding=3, dtype=dtype, name="attn_mz_conv")(ac)
                 ac = ResnetBlock(acid, time_emb_dim=None, dtype=dtype, name="attn_mz_res1")(ac)
                 ac = ResnetBlock(acid, time_emb_dim=None, dtype=dtype, name="attn_mz_res2")(ac)
-                acn = RMSNorm(acid, dtype=dtype, name="attn_mz_attn_norm")(ac)
-                ac = ac + LinAttn(acid, impl=la_impl, dtype=dtype, name="attn_mz_attn_fn")(acn)
+                g_pre = RMSNormParam(acid, name="attn_mz_attn_norm")()
+                ac = LinAttn(acid, impl=la_impl, dtype=dtype, name="attn_mz_attn_fn")(
+                    ac, g_pre, True
+                )
 
             # pivot '(b rt) mz d -> b rt (d mz)' with channel-major (d, mz)
             # flattening order for checkpoint parity (unet1d.py:1129)
@@ -240,8 +242,12 @@ class UNet1d(nn.Module):
                 dim_in, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype,
                 name=f"downs_{i}_block2",
             )(x, t_rows, deterministic)
-            xn = RMSNorm(dim_in, dtype=dtype, name=f"downs_{i}_attn_norm")(x)
-            x = x + LinAttn(dim_in, impl=la_impl, dtype=dtype, name=f"downs_{i}_attn_fn")(xn)
+            # norm -> attn -> +x sandwich; the pallas_t kernel fuses all
+            # three into one launch (pre-norm + residual live in VMEM)
+            g_pre = RMSNormParam(dim_in, name=f"downs_{i}_attn_norm")()
+            x = LinAttn(dim_in, impl=la_impl, dtype=dtype, name=f"downs_{i}_attn_fn")(
+                x, g_pre, True
+            )
             skips.append(x)
 
             if not is_last:
@@ -308,8 +314,10 @@ class UNet1d(nn.Module):
                 dim_out, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype,
                 name=f"ups_{i}_block2",
             )(x, t_rows, deterministic)
-            xn = RMSNorm(dim_out, dtype=dtype, name=f"ups_{i}_attn_norm")(x)
-            x = x + LinAttn(dim_out, impl=la_impl, dtype=dtype, name=f"ups_{i}_attn_fn")(xn)
+            g_pre = RMSNormParam(dim_out, name=f"ups_{i}_attn_norm")()
+            x = LinAttn(dim_out, impl=la_impl, dtype=dtype, name=f"ups_{i}_attn_fn")(
+                x, g_pre, True
+            )
 
             if not is_last:
                 x = Upsample(dim_in, dtype=dtype, name=f"ups_{i}_upsample")(x)

@@ -315,10 +315,20 @@ def _fused_forward_single(
 # --------------------------------------------------------------------- #
 
 
+def _prenorm(x, gpre, channels):
+    """In-kernel pre-RMSNorm of a (C, block_n) tile (per-column channel
+    norm), f32. Matches layers.RMSNorm incl. the 1e-12 clamp."""
+    rr = jnp.maximum(
+        jnp.sqrt(jnp.sum(jnp.square(x), axis=0, keepdims=True)), 1e-12
+    )
+    return x / rr * (gpre * (channels**0.5))
+
+
 def _kernel_ab_t(
-    x_ref, wq_ref, wk_ref, wv_ref, woutT_ref, bout_ref, g_ref, o_ref,
+    x_ref, wq_ref, wk_ref, wv_ref, woutT_ref, bout_ref, g_ref, gpre_ref, o_ref,
     m_ref, s_ref, acc_ref,
     *, block_n: int, seq_len: int, heads: int, dim_head: int, channels: int,
+    prenorm: bool = False, residual: bool = False,
 ):
     """Transposed two-phase kernel. All tiles are (rows, block_n) with the
     sequence on the lane axis, so VMEM tiles and HBM<->VMEM DMAs are
@@ -330,6 +340,12 @@ def _kernel_ab_t(
     Phase 0 accumulates the per-batch (H_d, H_e) context with an online
     softmax over N; phase 1 emits y = RMSNorm(w_out @ (ctx^T @ softmax_h(q)))
     block by block. ctx lives in VMEM scratch between phases.
+
+    With ``prenorm`` the tile is pre-RMSNormed in VMEM (gain gpre_ref) and
+    with ``residual`` the RAW x is added to the output — fusing the
+    module's norm -> attn -> +x sandwich into the kernel removes two full
+    (N, C) HBM round trips per mixer (the round-2 trace's ~1.5 ms of
+    boundary copies).
     """
     phase = pl.program_id(1)
     j = pl.program_id(2)
@@ -347,7 +363,8 @@ def _kernel_ab_t(
         s_ref[...] = jnp.zeros_like(s_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[0].astype(jnp.float32)  # (C, block_n)
+    x_raw = x_ref[0].astype(jnp.float32)  # (C, block_n)
+    x = _prenorm(x_raw, gpre_ref[...], channels) if prenorm else x_raw
     col = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (H, block_n), 1)
     valid = col < seq_len
 
@@ -404,11 +421,14 @@ def _kernel_ab_t(
         y = y + bout_ref[...]
         norm = jnp.sqrt(jnp.sum(jnp.square(y), axis=0, keepdims=True))
         y = y / jnp.maximum(norm, 1e-12) * g_ref[...] * (channels**0.5)
+        if residual:
+            y = y + x_raw
         o_ref[0] = y.astype(o_ref.dtype)
 
 
 def _fused_forward_single_t(
-    x, w_qkv, w_out, b_out, g, heads, dim_head, block_n, interpret
+    x, w_qkv, w_out, b_out, g, heads, dim_head, block_n, interpret,
+    g_pre=None, residual=False,
 ):
     """x: (B, N, C) — transposed internally; returns (B, N, C)."""
     B, N, C = x.shape
@@ -428,10 +448,16 @@ def _fused_forward_single_t(
     woutT = w_out.T  # (C, H)
     b2 = b_out.reshape(C, 1).astype(jnp.float32)
     g2 = g.reshape(C, 1).astype(jnp.float32)
+    gp2 = (
+        g_pre.reshape(C, 1).astype(jnp.float32)
+        if g_pre is not None
+        else jnp.ones((C, 1), jnp.float32)
+    )
 
     kernel = functools.partial(
         _kernel_ab_t, block_n=block_n, seq_len=N, heads=heads,
         dim_head=dim_head, channels=C,
+        prenorm=g_pre is not None, residual=residual,
     )
     y = pl.pallas_call(
         kernel,
@@ -445,6 +471,7 @@ def _fused_forward_single_t(
             _vmem_spec((C, H), lambda i, p, j: (0, 0)),
             _vmem_spec((C, 1), lambda i, p, j: (0, 0)),
             _vmem_spec((C, 1), lambda i, p, j: (0, 0)),
+            _vmem_spec((C, 1), lambda i, p, j: (0, 0)),
         ],
         out_specs=_vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j)),
         scratch_shapes=[
@@ -453,7 +480,7 @@ def _fused_forward_single_t(
             _scratch_vmem((H, H), jnp.float32),
         ],
         interpret=interpret,
-    )(xt, wq, wk, wv, woutT, b2, g2)
+    )(xt, wq, wk, wv, woutT, b2, g2, gp2)
     return jnp.swapaxes(y[:, :, :N], 1, 2)
 
 
@@ -492,10 +519,11 @@ def _slab_softmax(q, heads, dim_head, scale):
 
 
 def _kernel_bwd_a(
-    x_ref, dy_ref, wq_ref, wk_ref, wv_ref, woutT_ref, bout_ref, g_ref,
+    x_ref, dy_ref, wq_ref, wk_ref, wv_ref, woutT_ref, bout_ref, g_ref, gpre_ref,
     m_out, s_out, dctx_out, dxq_ref, dwq_out, dwo_out, db_out, dg_out,
     m_ref, s_ref, acc_ref, dctx_ref, dwq_ref, dwo_ref, db_ref, dg_ref,
     *, block_n: int, seq_len: int, heads: int, dim_head: int, channels: int,
+    prenorm: bool = False,
 ):
     """Phase 0: fwd context recompute (m, S, ctx). Phase 1: all gradients
     that need only the completed ctx — du/dwo/do/dctx/dq/dwq/db/dg and the
@@ -519,6 +547,8 @@ def _kernel_bwd_a(
         dg_ref[...] = jnp.zeros_like(dg_ref)
 
     x = x_ref[0].astype(jnp.float32)  # (C, block_n)
+    if prenorm:
+        x = _prenorm(x, gpre_ref[...], channels)
     col = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (H, block_n), 1)
     valid = col < seq_len
 
@@ -611,10 +641,11 @@ def _kernel_bwd_a(
 
 
 def _kernel_bwd_b(
-    x_ref, dxq_ref, dctx_ref, m_ref_in, s_ref_in, wk_ref, wv_ref,
+    x_ref, dxq_ref, dctx_ref, m_ref_in, s_ref_in, wk_ref, wv_ref, gpre_ref,
     t_out, dwv_out, dwka_out, bmat_out, dx2_ref,
     t_ref, dwv_ref, dwka_ref, bmat_ref,
     *, block_n: int, seq_len: int, heads: int, dim_head: int,
+    prenorm: bool = False,
 ):
     """The dctx-consuming side: dv/dkn, the global T accumulation, and the
     k/v weight-grad partials; writes dx_partial = dx_q + wv^T dv +
@@ -631,6 +662,8 @@ def _kernel_bwd_b(
         bmat_ref[...] = jnp.zeros_like(bmat_ref)
 
     x = x_ref[0].astype(jnp.float32)
+    if prenorm:
+        x = _prenorm(x, gpre_ref[...], x.shape[0])
     col = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (H, block_n), 1)
     valid = col < seq_len
 
@@ -680,13 +713,31 @@ def _kernel_bwd_b(
 
 
 def _kernel_bwd_c(
-    x_ref, dx2_ref, m_ref_in, s_ref_in, t_ref_in, wk_ref, dx_ref,
+    x_ref, dx2_ref, dy_ref, m_ref_in, s_ref_in, t_ref_in, wk_ref, gpre_ref,
+    dx_ref, dgpre_out, dgpre_ref,
     *, block_n: int, seq_len: int, heads: int, dim_head: int,
+    prenorm: bool = False, residual: bool = False,
 ):
-    """Apply the k-softmax sum correction: dx = dx_partial - wk^T (kn . T)."""
+    """Apply the k-softmax sum correction: dxn = dx_partial - wk^T (kn . T);
+    then (fused-prenorm variants) push dxn through the pre-RMSNorm back to
+    the raw input, add the residual cotangent, and accumulate dg_pre."""
     j = pl.program_id(1)
     H = heads * dim_head
-    x = x_ref[0].astype(jnp.float32)
+    C = x_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        dgpre_ref[...] = jnp.zeros_like(dgpre_ref)
+
+    x_raw = x_ref[0].astype(jnp.float32)
+    if prenorm:
+        rr = jnp.maximum(
+            jnp.sqrt(jnp.sum(jnp.square(x_raw), axis=0, keepdims=True)), 1e-12
+        )
+        u = x_raw / rr  # (C, block_n)
+        x = u * (gpre_ref[...] * (C**0.5))
+    else:
+        x = x_raw
     col = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (H, block_n), 1)
     valid = col < seq_len
     k = jnp.dot(wk_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
@@ -696,17 +747,34 @@ def _kernel_bwd_c(
         wk_ref[...].astype(jnp.float32), kn * t_ref_in[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dx_ref[0] = (dx2_ref[0].astype(jnp.float32) - corr).astype(dx_ref.dtype)
+    dxn = dx2_ref[0].astype(jnp.float32) - corr
+    if prenorm:
+        # pre-RMSNorm backward (per column): xn = u * G, u = x/r
+        gsc = gpre_ref[...] * (C**0.5)
+        dgpre_ref[...] += jnp.sum(dxn * u, axis=1, keepdims=True) * (C**0.5)
+        dun = dxn * gsc
+        dx = (dun - u * jnp.sum(dun * u, axis=0, keepdims=True)) / rr
+    else:
+        dx = dxn
+    if residual:
+        dx = dx + dy_ref[0].astype(jnp.float32)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dgpre_out[0] = dgpre_ref[...]
 
 
-def _fused_backward_t(x, w_qkv, w_out, b_out, g, dy, heads, dim_head, block_n):
-    """Streamed Pallas backward; returns (dx, dw_qkv, dw_out, db, dg)."""
+def _fused_backward_t(
+    x, w_qkv, w_out, b_out, g, dy, heads, dim_head, block_n,
+    g_pre=None, residual=False,
+):
+    """Streamed Pallas backward; returns (dx, dw_qkv, dw_out, db, dg) and,
+    when ``g_pre`` is given (fused pre-norm variant), also dg_pre."""
     B, N, C = x.shape
     H = heads * dim_head
     interpret = jax.default_backend() != "tpu"
     block_n = min(block_n, _round_up(N, 512))
     np_ = _round_up(max(N, block_n), block_n)
     nb = np_ // block_n
+    prenorm = g_pre is not None
 
     xt = jnp.pad(jnp.swapaxes(x, 1, 2), ((0, 0), (0, 0), (0, np_ - N)))
     dyt = jnp.pad(jnp.swapaxes(dy, 1, 2), ((0, 0), (0, 0), (0, np_ - N)))
@@ -717,6 +785,11 @@ def _fused_backward_t(x, w_qkv, w_out, b_out, g, dy, heads, dim_head, block_n):
     woutT = w_out.T
     b2 = b_out.reshape(C, 1).astype(jnp.float32)
     g2 = g.reshape(C, 1).astype(jnp.float32)
+    gp2 = (
+        g_pre.reshape(C, 1).astype(jnp.float32)
+        if prenorm
+        else jnp.ones((C, 1), jnp.float32)
+    )
 
     f32 = jnp.float32
     const = lambda shp: _vmem_spec(shp, lambda i, p, j: (0, 0))  # noqa: E731
@@ -724,7 +797,7 @@ def _fused_backward_t(x, w_qkv, w_out, b_out, g, dy, heads, dim_head, block_n):
 
     kernel_a = functools.partial(
         _kernel_bwd_a, block_n=block_n, seq_len=N, heads=heads,
-        dim_head=dim_head, channels=C,
+        dim_head=dim_head, channels=C, prenorm=prenorm,
     )
     m_o, s_o, dctx, dxq, dwq, dwo, db, dg = pl.pallas_call(
         kernel_a,
@@ -743,7 +816,7 @@ def _fused_backward_t(x, w_qkv, w_out, b_out, g, dy, heads, dim_head, block_n):
             _vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j)),
             _vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j)),
             const((H, C)), const((H, C)), const((H, C)),
-            const((C, H)), const((C, 1)), const((C, 1)),
+            const((C, H)), const((C, 1)), const((C, 1)), const((C, 1)),
         ],
         out_specs=[
             perb((H, 1)), perb((H, 1)), perb((H, H)),
@@ -757,7 +830,7 @@ def _fused_backward_t(x, w_qkv, w_out, b_out, g, dy, heads, dim_head, block_n):
             _scratch_vmem((C, 1), f32), _scratch_vmem((C, 1), f32),
         ],
         interpret=interpret,
-    )(xt, dyt, wq, wk, wv, woutT, b2, g2)
+    )(xt, dyt, wq, wk, wv, woutT, b2, g2, gp2)
 
     mask = _head_mask(heads, dim_head)
     dctx = dctx * mask[None]
@@ -765,7 +838,8 @@ def _fused_backward_t(x, w_qkv, w_out, b_out, g, dy, heads, dim_head, block_n):
     const2 = lambda shp: _vmem_spec(shp, lambda i, j: (0, 0))  # noqa: E731
     perb2 = lambda shp: _vmem_spec((1,) + shp, lambda i, j: (i, 0, 0))  # noqa: E731
     kernel_b = functools.partial(
-        _kernel_bwd_b, block_n=block_n, seq_len=N, heads=heads, dim_head=dim_head
+        _kernel_bwd_b, block_n=block_n, seq_len=N, heads=heads,
+        dim_head=dim_head, prenorm=prenorm,
     )
     t_o, dwv, dwka, bmat, dx2 = pl.pallas_call(
         kernel_b,
@@ -781,7 +855,7 @@ def _fused_backward_t(x, w_qkv, w_out, b_out, g, dy, heads, dim_head, block_n):
             _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
             _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
             perb2((H, H)), perb2((H, 1)), perb2((H, 1)),
-            const2((H, C)), const2((H, C)),
+            const2((H, C)), const2((H, C)), const2((C, 1)),
         ],
         out_specs=[
             perb2((H, 1)), perb2((C, H)), perb2((C, H)), perb2((C, H)),
@@ -792,24 +866,33 @@ def _fused_backward_t(x, w_qkv, w_out, b_out, g, dy, heads, dim_head, block_n):
             _scratch_vmem((C, H), f32), _scratch_vmem((C, H), f32),
         ],
         interpret=interpret,
-    )(xt, dxq, dctx, m_o, s_o, wk, wv)
+    )(xt, dxq, dctx, m_o, s_o, wk, wv, gp2)
 
     kernel_c = functools.partial(
-        _kernel_bwd_c, block_n=block_n, seq_len=N, heads=heads, dim_head=dim_head
+        _kernel_bwd_c, block_n=block_n, seq_len=N, heads=heads,
+        dim_head=dim_head, prenorm=prenorm, residual=residual,
     )
-    dxt = pl.pallas_call(
+    dxt, dgpre = pl.pallas_call(
         kernel_c,
-        out_shape=jax.ShapeDtypeStruct((B, C, np_), x.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C, np_), x.dtype),
+            jax.ShapeDtypeStruct((B, C, 1), f32),
+        ],
         grid=(B, nb),
         in_specs=[
             _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
             _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
+            _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
             perb2((H, 1)), perb2((H, 1)), perb2((H, 1)),
-            const2((H, C)),
+            const2((H, C)), const2((C, 1)),
         ],
-        out_specs=_vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
+        out_specs=[
+            _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
+            perb2((C, 1)),
+        ],
+        scratch_shapes=[_scratch_vmem((C, 1), f32)],
         interpret=interpret,
-    )(xt, dx2, m_o, s_o, t_o, wk)
+    )(xt, dx2, dyt, m_o, s_o, t_o, wk, gp2)
 
     dx = jnp.swapaxes(dxt[:, :, :N], 1, 2)
     # finalize weight grads in XLA (tiny tensors): apply dWk's T-correction
@@ -821,6 +904,9 @@ def _fused_backward_t(x, w_qkv, w_out, b_out, g, dy, heads, dim_head, block_n):
     dw_out = jnp.sum(dwo, axis=0).astype(w_out.dtype)
     db_f = jnp.sum(db, axis=0)[:, 0].astype(b_out.dtype)
     dg_f = jnp.sum(dg, axis=0)[:, 0].astype(g.dtype)
+    if prenorm:
+        dgpre_f = jnp.sum(dgpre, axis=0)[:, 0].astype(g_pre.dtype)
+        return dx, dw_qkv, dw_out, db_f, dg_f, dgpre_f
     return dx, dw_qkv, dw_out, db_f, dg_f
 
 
@@ -973,6 +1059,63 @@ def _fused_t_bwd(heads, dim_head, res, grad):
 _fused_t.defvjp(_fused_t_fwd, _fused_t_bwd)
 
 
+def rmsnorm_reference(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """f32 channel RMSNorm matching layers.RMSNorm (feature-last x)."""
+    x32 = x.astype(jnp.float32)
+    C = x.shape[-1]
+    norm = jnp.sqrt(jnp.sum(jnp.square(x32), axis=-1, keepdims=True))
+    return x32 / jnp.maximum(norm, 1e-12) * g.astype(jnp.float32) * (C**0.5)
+
+
+def linear_attention_nr_reference(
+    x, w_qkv, w_out, b_out, g, g_pre, heads, dim_head, residual=True
+):
+    """XLA oracle for the fused prenorm+residual variant:
+    y = x + attn(RMSNorm_{g_pre}(x))."""
+    xn = rmsnorm_reference(x, g_pre).astype(x.dtype)
+    out = linear_attention_reference(
+        xn, w_qkv, w_out, b_out, g, heads=heads, dim_head=dim_head
+    )
+    return (x + out).astype(x.dtype) if residual else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _fused_t_nr(x, w_qkv, w_out, b_out, g, g_pre, heads, dim_head, residual):
+    return _fused_forward_single_t(
+        x, w_qkv, w_out, b_out, g, heads, dim_head, _DEFAULT_BLOCK_N, None,
+        g_pre=g_pre, residual=residual,
+    )
+
+
+def _fused_t_nr_fwd(x, w_qkv, w_out, b_out, g, g_pre, heads, dim_head, residual):
+    if _use_kernel_bwd():
+        y = _fused_t_nr(x, w_qkv, w_out, b_out, g, g_pre, heads, dim_head, residual)
+    else:
+        y = linear_attention_nr_reference(
+            x, w_qkv, w_out, b_out, g, g_pre, heads, dim_head, residual
+        )
+    return y, (x, w_qkv, w_out, b_out, g, g_pre)
+
+
+def _fused_t_nr_bwd(heads, dim_head, residual, res, grad):
+    x, w_qkv, w_out, b_out, g, g_pre = res
+    if _use_kernel_bwd():
+        return _fused_backward_t(
+            x, w_qkv, w_out, b_out, g, grad, heads, dim_head, _DEFAULT_BLOCK_N,
+            g_pre=g_pre, residual=residual,
+        )
+    _, vjp = jax.vjp(
+        lambda *a: linear_attention_nr_reference(
+            *a, heads=heads, dim_head=dim_head, residual=residual
+        ),
+        x, w_qkv, w_out, b_out, g, g_pre,
+    )
+    return vjp(grad)
+
+
+_fused_t_nr.defvjp(_fused_t_nr_fwd, _fused_t_nr_bwd)
+
+
 def fused_linear_attention_t(
     x: jnp.ndarray,
     w_qkv: jnp.ndarray,
@@ -981,13 +1124,27 @@ def fused_linear_attention_t(
     g: jnp.ndarray,
     heads: int = 4,
     dim_head: int = 32,
+    g_pre: jnp.ndarray = None,
+    residual: bool = False,
 ) -> jnp.ndarray:
     """Lane-dense transposed variant of :func:`fused_linear_attention`.
 
     Same math and weight layout; internally runs over (B, C, N) tiles with
     the sequence on the lane axis, which keeps HBM<->VMEM DMAs dense for
     the net's C<=16 activations and removes the custom-call boundary
-    relayouts that made the original blocking lose in-model."""
+    relayouts that made the original blocking lose in-model.
+
+    ``g_pre`` fuses the model's pre-RMSNorm into the kernel (gain from the
+    paired RMSNorm module) and ``residual`` adds the raw input to the
+    output — together they absorb the norm -> attn -> +x sandwich
+    (reference unet1d.py:446-496 used at 1017/1068) into one launch,
+    removing two full (N, C) HBM round trips per mixer."""
+    if g_pre is not None or residual:
+        if g_pre is None:
+            # residual-only: reuse the nr path with an identity prenorm is
+            # NOT possible (it would still normalize); fall back to add.
+            return x + _fused_t(x, w_qkv, w_out, b_out, g, heads, dim_head)
+        return _fused_t_nr(x, w_qkv, w_out, b_out, g, g_pre, heads, dim_head, residual)
     return _fused_t(x, w_qkv, w_out, b_out, g, heads, dim_head)
 
 

@@ -52,29 +52,33 @@ def main():
     int8_bytes = q.size + scale.size * 4
     print(f"int8 weights: {int8_bytes/1e6:.0f} MB (bf16 was {w.size*2/1e6:.0f} MB)")
 
+    # NOTE: weights must be jit *arguments* — closing over them would bake
+    # 300 MB constants into the HLO (the remote compiler rejects >~100 MB
+    # request bodies with HTTP 413). The model path passes them as params.
+    bias_j = jnp.asarray(bias)
     conv_j = jax.jit(
-        lambda xx: int8_conv1d(xx, q, scale, jnp.asarray(bias), kernel, c)
+        lambda xx, qq, ss, bb: int8_conv1d(xx, qq, ss, bb, kernel, c)
     )
-    ms = timeit(lambda: conv_j(x))
+    ms = timeit(lambda: conv_j(x, q, scale, bias_j))
     gbps = int8_bytes / (ms / 1e3) / 1e9
     print(f"int8_conv1d: {ms:.3f} ms  ({gbps:.0f} GB/s weight stream)")
 
     # bf16 XLA conv oracle (the in-model path this replaces)
     wb = jnp.asarray(w, jnp.bfloat16)
     conv_ref = jax.jit(
-        lambda xx: jax.lax.conv_general_dilated(
-            xx, wb, (1,), [(1, 1)], dimension_numbers=("NWC", "WIO", "NWC"),
+        lambda xx, ww: jax.lax.conv_general_dilated(
+            xx, ww, (1,), [(1, 1)], dimension_numbers=("NWC", "WIO", "NWC"),
             preferred_element_type=jnp.float32,
         )
     )
-    ms_ref = timeit(lambda: conv_ref(x))
+    ms_ref = timeit(lambda: conv_ref(x, wb))
     print(f"bf16 XLA conv: {ms_ref:.3f} ms  ({w.size*2/(ms_ref/1e3)/1e9:.0f} GB/s)")
 
     # raw matmul at the padded shape, to separate im2col cost
     xf = jnp.asarray(rng.normal(size=(b * rt, kernel * c)).astype(np.float32), jnp.bfloat16)
     q2, s2 = jax.jit(quantize_weight_matrix)(jnp.asarray(w.reshape(kernel * c, c)))
-    mm_j = jax.jit(lambda xx: int8_matmul(xx, q2, s2))
-    ms_mm = timeit(lambda: mm_j(xf))
+    mm_j = jax.jit(lambda xx, qq, ss: int8_matmul(xx, qq, ss))
+    ms_mm = timeit(lambda: mm_j(xf, q2, s2))
     print(f"int8_matmul only: {ms_mm:.3f} ms")
 
 

@@ -199,6 +199,63 @@ def test_mesh_prefetch_feeds_without_host_roundtrip():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.skipif(
+    not __import__("os").environ.get("DQUARTIC_FULL_SHAPE_TESTS"),
+    reason="CPU SPMD compile of the full-resolution step takes >10 min; "
+    "set DQUARTIC_FULL_SHAPE_TESTS=1 (verified green in BENCH_NOTES.md; "
+    "the canonical-width run is a real-TPU benchmark)",
+)
+def test_sp_training_at_production_shape():
+    """Sequence parallelism at the REFERENCE'S PRODUCTION WINDOW SHAPE:
+    rt=340, m/z 30000 (run_data_gen.sh:8-14 window-size 340 / ms2 30000),
+    padded to 30016 for the 7-level stride — 7 levels is the only viable
+    depth at this m/z (shallower nets explode the bottleneck channel
+    count: at 3 levels the mid conv would be (3, 30000, 30000) = 43 GB).
+    Single step must produce finite loss + grads under sp=2."""
+    import optax
+
+    mesh = make_mesh(dp=1, sp=2, tp=1, devices=jax.devices()[:2])
+    rt, mz = 340, 30016  # 30000 padded to the next multiple of 2**6
+    model = UNet1d(
+        dim=4, channels=1, dim_mults=(1, 1, 1, 1, 1, 1, 1), conditional=True,
+        init_cond_channels=1, attn_cond_channels=1, downsample_dim=mz,
+        simple=True, activation_sharding=("dp", "sp"),
+    )
+    process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
+    trainer = Trainer(
+        model, process, optimizer=optax.chain(optax.clip_by_global_norm(10.0)),
+        mesh=mesh, seed=0, ema_decay=None,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "ms2_1": rng.uniform(0, 1, (1, rt, mz)).astype(np.float32),
+        "ms1_1": rng.uniform(0, 1, (1, rt)).astype(np.float32),
+        "ms2_2": rng.uniform(0, 1, (1, rt, mz)).astype(np.float32),
+        "ms1_2": rng.uniform(0, 1, (1, rt)).astype(np.float32),
+    }
+    state = trainer.init_state(batch)
+    from dquartic_tpu.parallel import shard_batch
+
+    state, metrics = trainer.train_step(
+        state, shard_batch(batch, mesh), jnp.float32(1e-4), jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    assert int(state.step) == 1
+
+
+def test_raw_production_mz_needs_padding():
+    """m/z 30000 itself is not divisible by the 7-level stride 64; the
+    model must say so actionably (suggesting 30720)."""
+    model = UNet1d(
+        dim=4, channels=1, dim_mults=(1, 1, 1, 1, 1, 1, 1), conditional=True,
+        init_cond_channels=1, attn_cond_channels=1, downsample_dim=30000,
+    )
+    x = jnp.zeros((1, 4, 30000))
+    with pytest.raises(ValueError, match="30016"):
+        model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32), x, jnp.zeros((1, 4)))
+
+
 def test_dp_sp_tp_mesh_with_activation_sharding(tmp_path):
     """Full 3-axis mesh: batch over dp, m/z activations over sp, wide
     kernels over tp — numerically equal to single-device."""
