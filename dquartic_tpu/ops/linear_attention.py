@@ -498,9 +498,14 @@ def _fused_forward_single_t(
 #        dkn  = (mask.dctx) v;   dv = (mask.dctx)^T kn
 #        dk   = kn . dkn - kn . T,   T_d = sum_n kn dkn              (GLOBAL)
 # The only cross-block coupling is T (the k-softmax sum), so the backward
-# streams in three passes: A) recompute ctx stats + everything downstream
-# of q (du/do/dctx/dq grads, dx_q partial), B) dv/dkn-side grads + T
-# accumulation + dx partial, C) the -wk^T (kn . T) correction into dx.
+# streams in two pallas_calls: A) recompute ctx stats + everything
+# downstream of q (du/do/dctx/dq grads, dx_q partial), BC) a two-phase
+# kernel — phase 0 accumulates the dv/dkn-side grads + T and stashes the
+# per-block dx partials in a (C, N) VMEM scratch; phase 1 applies the
+# -wk^T (kn . T) correction (T is complete by then) and emits dx without
+# the partials ever touching HBM. Phase-aware index maps pin dxq to block
+# 0 during phase 1 and dy to block 0 during phase 0 so neither streams in
+# the phase that ignores it.
 # Per-batch weight-grad partials come back as (B, C, H)-sized outputs and
 # are reduced in XLA (tiny); dWk's T-correction folds in there too:
 #   dWk_b = x (kn.dkn)^T - (x kn^T) . T_b
@@ -640,96 +645,38 @@ def _kernel_bwd_a(
     dg_out[0] = dg_ref[...]
 
 
-def _kernel_bwd_b(
-    x_ref, dxq_ref, dctx_ref, m_ref_in, s_ref_in, wk_ref, wv_ref, gpre_ref,
-    t_out, dwv_out, dwka_out, bmat_out, dx2_ref,
-    t_ref, dwv_ref, dwka_ref, bmat_ref,
+def _kernel_bwd_bc(
+    x_ref, dxq_ref, dy_ref, dctx_ref, m_ref_in, s_ref_in, wk_ref, wv_ref,
+    gpre_ref,
+    t_out, dwv_out, dwka_out, bmat_out, dx_ref, dgpre_out,
+    t_ref, dwv_ref, dwka_ref, bmat_ref, dgpre_ref, dx2_ref,
     *, block_n: int, seq_len: int, heads: int, dim_head: int,
-    prenorm: bool = False,
+    prenorm: bool = False, residual: bool = False,
 ):
-    """The dctx-consuming side: dv/dkn, the global T accumulation, and the
-    k/v weight-grad partials; writes dx_partial = dx_q + wv^T dv +
-    wk^T (kn . dkn)."""
-    j = pl.program_id(1)
-    H = heads * dim_head
-    cd = dx2_ref.dtype if dx2_ref.dtype == jnp.bfloat16 else jnp.float32
+    """Merged passes B+C over a (B, 2, nb) grid.
 
-    @pl.when(j == 0)
+    Phase 0 (the dctx-consuming side): dv/dkn, the global T accumulation,
+    the k/v weight-grad partials, and dx_partial = dx_q + wv^T dv +
+    wk^T (kn . dkn) — stashed per block in the (C, N) VMEM scratch
+    ``dx2_ref`` instead of an HBM output.  Phase 1 (possible only once T
+    is complete): dxn = dx_partial - wk^T (kn . T); then (fused-prenorm
+    variants) push dxn through the pre-RMSNorm back to the raw input, add
+    the residual cotangent, and accumulate dg_pre."""
+    phase = pl.program_id(1)
+    j = pl.program_id(2)
+    H = heads * dim_head
+    C = x_ref.shape[1]
+    cd = dx_ref.dtype if dx_ref.dtype == jnp.bfloat16 else jnp.float32
+
+    @pl.when((phase == 0) & (j == 0))
     def _():
         t_ref[...] = jnp.zeros_like(t_ref)
         dwv_ref[...] = jnp.zeros_like(dwv_ref)
         dwka_ref[...] = jnp.zeros_like(dwka_ref)
         bmat_ref[...] = jnp.zeros_like(bmat_ref)
-
-    x = x_ref[0].astype(jnp.float32)
-    if prenorm:
-        x = _prenorm(x, gpre_ref[...], x.shape[0])
-    col = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (H, block_n), 1)
-    valid = col < seq_len
-
-    k = jnp.dot(wk_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
-    k = jnp.where(valid, k, _NEG_INF)
-    kn = jnp.exp(k - m_ref_in[0]) / jnp.maximum(s_ref_in[0], 1e-30)  # (H, block_n)
-    v = jnp.dot(wv_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
-    v = jnp.where(valid, v, 0.0)
-
-    dctx = dctx_ref[0]  # (H_d, H_e), already head-masked
-    dkn = jnp.dot(dctx.astype(cd), v.astype(cd),
-                  preferred_element_type=jnp.float32)  # (H_d, block_n)
-    dv = jax.lax.dot_general(
-        dctx.astype(cd), kn.astype(cd), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (H_e, block_n)
-
-    kdkn = kn * dkn
-    t_ref[...] += jnp.sum(kdkn, axis=1, keepdims=True)
-    dwv_ref[...] += jax.lax.dot_general(
-        x.astype(cd), dv.astype(cd), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dwka_ref[...] += jax.lax.dot_general(
-        x.astype(cd), kdkn.astype(cd), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    bmat_ref[...] += jax.lax.dot_general(
-        x.astype(cd), kn.astype(cd), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dx2 = dxq_ref[0].astype(jnp.float32)
-    dx2 = dx2 + jax.lax.dot_general(
-        wv_ref[...].astype(jnp.float32), dv, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dx2 = dx2 + jax.lax.dot_general(
-        wk_ref[...].astype(jnp.float32), kdkn, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dx2_ref[0] = dx2.astype(dx2_ref.dtype)
-
-    t_out[0] = t_ref[...]
-    dwv_out[0] = dwv_ref[...]
-    dwka_out[0] = dwka_ref[...]
-    bmat_out[0] = bmat_ref[...]
-
-
-def _kernel_bwd_c(
-    x_ref, dx2_ref, dy_ref, m_ref_in, s_ref_in, t_ref_in, wk_ref, gpre_ref,
-    dx_ref, dgpre_out, dgpre_ref,
-    *, block_n: int, seq_len: int, heads: int, dim_head: int,
-    prenorm: bool = False, residual: bool = False,
-):
-    """Apply the k-softmax sum correction: dxn = dx_partial - wk^T (kn . T);
-    then (fused-prenorm variants) push dxn through the pre-RMSNorm back to
-    the raw input, add the residual cotangent, and accumulate dg_pre."""
-    j = pl.program_id(1)
-    H = heads * dim_head
-    C = x_ref.shape[1]
-
-    @pl.when(j == 0)
-    def _():
         dgpre_ref[...] = jnp.zeros_like(dgpre_ref)
 
-    x_raw = x_ref[0].astype(jnp.float32)
+    x_raw = x_ref[0].astype(jnp.float32)  # (C, block_n)
     if prenorm:
         rr = jnp.maximum(
             jnp.sqrt(jnp.sum(jnp.square(x_raw), axis=0, keepdims=True)), 1e-12
@@ -737,28 +684,77 @@ def _kernel_bwd_c(
         u = x_raw / rr  # (C, block_n)
         x = u * (gpre_ref[...] * (C**0.5))
     else:
+        u = rr = None
         x = x_raw
     col = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (H, block_n), 1)
     valid = col < seq_len
     k = jnp.dot(wk_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
     k = jnp.where(valid, k, _NEG_INF)
-    kn = jnp.exp(k - m_ref_in[0]) / jnp.maximum(s_ref_in[0], 1e-30)
-    corr = jax.lax.dot_general(
-        wk_ref[...].astype(jnp.float32), kn * t_ref_in[0], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dxn = dx2_ref[0].astype(jnp.float32) - corr
-    if prenorm:
-        # pre-RMSNorm backward (per column): xn = u * G, u = x/r
-        gsc = gpre_ref[...] * (C**0.5)
-        dgpre_ref[...] += jnp.sum(dxn * u, axis=1, keepdims=True) * (C**0.5)
-        dun = dxn * gsc
-        dx = (dun - u * jnp.sum(dun * u, axis=0, keepdims=True)) / rr
-    else:
-        dx = dxn
-    if residual:
-        dx = dx + dy_ref[0].astype(jnp.float32)
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+    kn = jnp.exp(k - m_ref_in[0]) / jnp.maximum(s_ref_in[0], 1e-30)  # (H, block_n)
+
+    @pl.when(phase == 0)
+    def _():
+        v = jnp.dot(wv_ref[...].astype(jnp.float32), x,
+                    preferred_element_type=jnp.float32)
+        v = jnp.where(valid, v, 0.0)
+
+        dctx = dctx_ref[0]  # (H_d, H_e), already head-masked
+        dkn = jnp.dot(dctx.astype(cd), v.astype(cd),
+                      preferred_element_type=jnp.float32)  # (H_d, block_n)
+        dv = jax.lax.dot_general(
+            dctx.astype(cd), kn.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H_e, block_n)
+
+        kdkn = kn * dkn
+        t_ref[...] += jnp.sum(kdkn, axis=1, keepdims=True)
+        dwv_ref[...] += jax.lax.dot_general(
+            x.astype(cd), dv.astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwka_ref[...] += jax.lax.dot_general(
+            x.astype(cd), kdkn.astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        bmat_ref[...] += jax.lax.dot_general(
+            x.astype(cd), kn.astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dx2 = dxq_ref[0].astype(jnp.float32)
+        dx2 = dx2 + jax.lax.dot_general(
+            wv_ref[...].astype(jnp.float32), dv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dx2 = dx2 + jax.lax.dot_general(
+            wk_ref[...].astype(jnp.float32), kdkn, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dx2_ref[:, pl.dslice(j * block_n, block_n)] = dx2
+
+    @pl.when(phase == 1)
+    def _():
+        corr = jax.lax.dot_general(
+            wk_ref[...].astype(jnp.float32), kn * t_ref[...],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dxn = dx2_ref[:, pl.dslice(j * block_n, block_n)] - corr
+        if prenorm:
+            # pre-RMSNorm backward (per column): xn = u * G, u = x/r
+            gsc = gpre_ref[...] * (C**0.5)
+            dgpre_ref[...] += jnp.sum(dxn * u, axis=1, keepdims=True) * (C**0.5)
+            dun = dxn * gsc
+            dx = (dun - u * jnp.sum(dun * u, axis=0, keepdims=True)) / rr
+        else:
+            dx = dxn
+        if residual:
+            dx = dx + dy_ref[0].astype(jnp.float32)
+        dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    t_out[0] = t_ref[...]
+    dwv_out[0] = dwv_ref[...]
+    dwka_out[0] = dwka_ref[...]
+    bmat_out[0] = bmat_ref[...]
     dgpre_out[0] = dgpre_ref[...]
 
 
@@ -835,64 +831,44 @@ def _fused_backward_t(
     mask = _head_mask(heads, dim_head)
     dctx = dctx * mask[None]
 
-    const2 = lambda shp: _vmem_spec(shp, lambda i, j: (0, 0))  # noqa: E731
-    perb2 = lambda shp: _vmem_spec((1,) + shp, lambda i, j: (i, 0, 0))  # noqa: E731
-    kernel_b = functools.partial(
-        _kernel_bwd_b, block_n=block_n, seq_len=N, heads=heads,
-        dim_head=dim_head, prenorm=prenorm,
+    kernel_bc = functools.partial(
+        _kernel_bwd_bc, block_n=block_n, seq_len=N, heads=heads,
+        dim_head=dim_head, prenorm=prenorm, residual=residual,
     )
-    t_o, dwv, dwka, bmat, dx2 = pl.pallas_call(
-        kernel_b,
+    # dxq streams only in phase 0 and dy only in phase 1 (index pinned to
+    # block 0 in the other phase -> Pallas skips the unchanged-block DMAs);
+    # dx's phase-0 index is likewise pinned so the unwritten ref flushes
+    # once, into a block phase 1 immediately overwrites.
+    t_o, dwv, dwka, bmat, dxt, dgpre = pl.pallas_call(
+        kernel_bc,
         out_shape=[
             jax.ShapeDtypeStruct((B, H, 1), f32),
             jax.ShapeDtypeStruct((B, C, H), f32),
             jax.ShapeDtypeStruct((B, C, H), f32),
             jax.ShapeDtypeStruct((B, C, H), f32),
             jax.ShapeDtypeStruct((B, C, np_), x.dtype),
+            jax.ShapeDtypeStruct((B, C, 1), f32),
         ],
-        grid=(B, nb),
+        grid=(B, 2, nb),
         in_specs=[
-            _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
-            _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
-            perb2((H, H)), perb2((H, 1)), perb2((H, 1)),
-            const2((H, C)), const2((H, C)), const2((C, 1)),
+            _vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j)),
+            _vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j * (1 - p))),
+            _vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j * p)),
+            perb((H, H)), perb((H, 1)), perb((H, 1)),
+            const((H, C)), const((H, C)), const((C, 1)),
         ],
         out_specs=[
-            perb2((H, 1)), perb2((C, H)), perb2((C, H)), perb2((C, H)),
-            _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
+            perb((H, 1)), perb((C, H)), perb((C, H)), perb((C, H)),
+            _vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j * p)),
+            perb((C, 1)),
         ],
         scratch_shapes=[
             _scratch_vmem((H, 1), f32), _scratch_vmem((C, H), f32),
             _scratch_vmem((C, H), f32), _scratch_vmem((C, H), f32),
+            _scratch_vmem((C, 1), f32), _scratch_vmem((C, np_), f32),
         ],
         interpret=interpret,
-    )(xt, dxq, dctx, m_o, s_o, wk, wv, gp2)
-
-    kernel_c = functools.partial(
-        _kernel_bwd_c, block_n=block_n, seq_len=N, heads=heads,
-        dim_head=dim_head, prenorm=prenorm, residual=residual,
-    )
-    dxt, dgpre = pl.pallas_call(
-        kernel_c,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, C, np_), x.dtype),
-            jax.ShapeDtypeStruct((B, C, 1), f32),
-        ],
-        grid=(B, nb),
-        in_specs=[
-            _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
-            _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
-            _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
-            perb2((H, 1)), perb2((H, 1)), perb2((H, 1)),
-            const2((H, C)), const2((C, 1)),
-        ],
-        out_specs=[
-            _vmem_spec((1, C, block_n), lambda i, j: (i, 0, j)),
-            perb2((C, 1)),
-        ],
-        scratch_shapes=[_scratch_vmem((C, 1), f32)],
-        interpret=interpret,
-    )(xt, dx2, dyt, m_o, s_o, t_o, wk, gp2)
+    )(xt, dxq, dyt, dctx, m_o, s_o, wk, wv, gp2)
 
     dx = jnp.swapaxes(dxt[:, :, :N], 1, 2)
     # finalize weight grads in XLA (tiny tensors): apply dWk's T-correction
