@@ -154,7 +154,9 @@ def bench_unet_sample(num_steps=50, batch=1, linear_attn_impl="auto", tag="", qu
     x = jnp.zeros((b, rt, mz))
     t0 = jnp.zeros((b,), jnp.int32)
     ac = jnp.zeros((b, rt))
-    params = model.init(jax.random.PRNGKey(0), x, t0, x, ac)
+    # jitted init: eager init of 1.2B params is >10 min of per-op
+    # dispatches on the tunneled platform; compiled it is seconds.
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t0, x, ac)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     _log(f"unet params: {n_params/1e6:.1f}M")
     if quantize_mid:

@@ -33,20 +33,34 @@ def init_unet(config, b=2, rt=6, mz=32, ms1_2d=False):
     return model, params, (x, t, ic, ac)
 
 
-def test_unet_shapes_simple():
-    model, params, (x, t, ic, ac) = init_unet(TINY)
-    out = model.apply(params, x, t, ic, ac)
+@pytest.fixture(scope="module")
+def tiny_unet():
+    """One shared TINY model + params + jitted apply for the read-only
+    tests (one trace/compile instead of one per test — the 1-core bench
+    host makes per-test eager applies the dominant suite cost)."""
+    model, params, args = init_unet(TINY)
+    return model, params, args, jax.jit(model.apply)
+
+
+def test_unet_shapes_simple(tiny_unet):
+    model, params, (x, t, ic, ac), japply = tiny_unet
+    out = japply(params, x, t, ic, ac)
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
 
 
 def test_unet_param_count_independent_of_rt():
     """RT rows share all conv weights; param tree must not depend on rt."""
-    _, p6, _ = init_unet(TINY, rt=6)
-    _, p9, _ = init_unet(TINY, rt=9)
-    s6 = jax.tree_util.tree_map(lambda a: a.shape, p6)
-    s9 = jax.tree_util.tree_map(lambda a: a.shape, p9)
-    assert s6 == s9
+    model = UNet1d(**TINY)
+
+    def shapes(rt):
+        tree = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0), jnp.ones((2, rt, 32)),
+            jnp.zeros((2,), jnp.int32), jnp.ones((2, rt, 32)), jnp.ones((2, rt)),
+        )
+        return jax.tree_util.tree_map(lambda a: a.shape, tree)
+
+    assert shapes(6) == shapes(9)
 
 
 def test_unet_2d_ms1_condition():
@@ -85,54 +99,55 @@ def test_unet_canonical_mult_pattern_shapes():
         downsample_dim=640,
         simple=True,
     )
-    model, params, (x, t, ic, ac) = init_unet(cfg, b=1, rt=4, mz=640)
+    model, params, (x, t, ic, ac) = init_unet(cfg, b=1, rt=4, mz=320)
     out = model.apply(params, x, t, ic, ac)
-    assert out.shape == (1, 4, 640)
+    assert out.shape == (1, 4, 320)
 
 
-def test_unet_conditioning_matters():
-    model, params, (x, t, ic, ac) = init_unet(TINY)
-    out1 = model.apply(params, x, t, ic, ac)
-    out2 = model.apply(params, x, t, ic * 2.0, ac)
+def test_unet_conditioning_matters(tiny_unet):
+    model, params, (x, t, ic, ac), japply = tiny_unet
+    out1 = japply(params, x, t, ic, ac)
+    out2 = japply(params, x, t, ic * 2.0, ac)
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
-    out3 = model.apply(params, x, t, ic, ac * 3.0)
+    out3 = japply(params, x, t, ic, ac * 3.0)
     assert not np.allclose(np.asarray(out1), np.asarray(out3))
 
 
-def test_unet_time_matters():
-    model, params, (x, t, ic, ac) = init_unet(TINY)
-    out1 = model.apply(params, x, t, ic, ac)
-    out2 = model.apply(params, x, jnp.full_like(t, 500), ic, ac)
+def test_unet_time_matters(tiny_unet):
+    model, params, (x, t, ic, ac), japply = tiny_unet
+    out1 = japply(params, x, t, ic, ac)
+    out2 = japply(params, x, jnp.full_like(t, 500), ic, ac)
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
 
 
-def test_unet_gradients_flow():
-    model, params, (x, t, ic, ac) = init_unet(TINY, b=1, rt=4)
+def test_unet_gradients_flow(tiny_unet):
+    model, params, (x, t, ic, ac), _ = tiny_unet
 
     def loss_fn(p):
         out = model.apply(p, x, t, ic, ac)
         return jnp.mean(out**2)
 
-    grads = jax.grad(loss_fn)(params)
+    grads = jax.jit(jax.grad(loss_fn))(params)
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     nonzero = sum(bool(np.any(np.asarray(g) != 0)) for g in leaves)
     assert nonzero > 0.8 * len(leaves)
 
 
-def test_unet_batch_consistency():
+def test_unet_batch_consistency(tiny_unet):
     """Batched forward must equal per-sample forwards (the reference cannot
     do batch>1 at all; ours must be consistent)."""
-    model, params, (x, t, ic, ac) = init_unet(TINY, b=2)
+    model, params, (x0, _, _, _), japply = tiny_unet
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
-    ic = jnp.asarray(rng.normal(size=ic.shape).astype(np.float32))
-    ac = jnp.asarray(rng.normal(size=ac.shape).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=x0.shape).astype(np.float32))
+    ic = jnp.asarray(rng.normal(size=x0.shape).astype(np.float32))
+    ac = jnp.asarray(rng.normal(size=x0.shape[:2]).astype(np.float32))
     t = jnp.array([3, 700], jnp.int32)
 
-    full = model.apply(params, x, t, ic, ac)
+    full = japply(params, x, t, ic, ac)
+    single_apply = jax.jit(model.apply)
     for i in range(2):
-        single = model.apply(params, x[i : i + 1], t[i : i + 1], ic[i : i + 1], ac[i : i + 1])
+        single = single_apply(params, x[i : i + 1], t[i : i + 1], ic[i : i + 1], ac[i : i + 1])
         np.testing.assert_allclose(np.asarray(full[i]), np.asarray(single[0]), rtol=2e-4, atol=1e-5)
 
 

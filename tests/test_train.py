@@ -200,16 +200,16 @@ def test_orbax_checkpoint_backend(tiny_setup, tmp_path):
     trainer, batches, _ = tiny_setup
     trainer_o = Trainer(trainer.model, trainer.process, seed=0, checkpoint_backend="orbax")
     ckpt = str(tmp_path / "ock" / "best_model.ckpt")
-    trainer_o.train(batches, epochs=2, warmup_epochs=0, learning_rate=1e-3, checkpoint_path=ckpt)
+    trainer_o.train(batches, epochs=1, warmup_epochs=0, learning_rate=1e-3, checkpoint_path=ckpt)
     assert os.path.exists(ckpt)  # best
     assert os.path.exists(trainer_o._orbax.latest_path_for(ckpt))
 
-    # resume: 2 more epochs continue the counter
+    # resume: one more epoch continues the counter
     trainer_o2 = Trainer(trainer.model, trainer.process, seed=0, checkpoint_backend="orbax")
     state = trainer_o2.train(
-        batches, epochs=4, warmup_epochs=0, learning_rate=1e-3, checkpoint_path=ckpt
+        batches, epochs=2, warmup_epochs=0, learning_rate=1e-3, checkpoint_path=ckpt
     )
-    assert int(state.step) == 4 * len(batches)
+    assert int(state.step) == 2 * len(batches)
 
 
 def test_custom_transformer_trainer_e2e(tmp_path):
