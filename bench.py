@@ -140,7 +140,10 @@ def _canonical_unet(dtype, linear_attn_impl="auto"):
     )
 
 
-def bench_unet_sample(num_steps=50, batch=1, linear_attn_impl="auto", tag="", quantize_mid=False):
+def bench_unet_sample(
+    num_steps=50, batch=1, linear_attn_impl="auto", tag="", quantize_mid=False,
+    fused_resnet=False,
+):
     import jax
     import jax.numpy as jnp
 
@@ -168,6 +171,11 @@ def bench_unet_sample(num_steps=50, batch=1, linear_attn_impl="auto", tag="", qu
         model = model.clone(quantize_mid=True)
         params = jax.jit(quantize_mid_block_params)(params)
         tag = (tag + ", " if tag else "") + "int8 mid convs"
+    if fused_resnet:
+        # transposed-resident conv stack (ops/fused_resnet.py): kills the
+        # rows-minor <-> mz-minor relayout copies at every kernel boundary.
+        model = model.clone(fused_resnet=True)
+        tag = (tag + ", " if tag else "") + "fused resnet"
 
     sampler = DDIMSampler(model, process)
     data = _make_batch(b, rt, mz)
@@ -270,6 +278,8 @@ def bench_flagship():
 MODES = {
     "flagship": bench_flagship,
     "unet_sample_int8": lambda: bench_unet_sample(quantize_mid=True),
+    "unet_sample_fused": lambda: bench_unet_sample(quantize_mid=True, fused_resnet=True),
+    "unet_sample_fused_batched": lambda: bench_unet_sample(batch=8, quantize_mid=True, fused_resnet=True),
     "unet_sample_int8_batched": lambda: bench_unet_sample(batch=8, quantize_mid=True),
     "transformer_train": bench_transformer_train,
     "unet_sample": bench_unet_sample,

@@ -177,11 +177,17 @@ def generate_train_data(
     "Defaults to tpu.quantize_mid from the config.",
 )
 @click.option(
+    "--fused-resnet/--no-fused-resnet", default=None,
+    help="Run the UNet1d conv stack transposed-resident with fused "
+    "Pallas ResnetBlocks (removes the per-forward layout-copy cost). "
+    "Defaults to tpu.fused_resnet from the config.",
+)
+@click.option(
     "--format", "output_format", default=None,
     type=click.Choice(["npz", "parquet"]),
     help="Output format; inferred from the output file suffix by default",
 )
-def predict(config_path, checkpoint_path, output_file, num_steps, num_batches, use_ema, quantize_mid, output_format):
+def predict(config_path, checkpoint_path, output_file, num_steps, num_batches, use_ema, quantize_mid, fused_resnet, output_format):
     """Deconvolute dataset windows with a trained model.
 
     Writes NPZ by default, or parquet (one row per prediction batch with
@@ -219,6 +225,14 @@ def predict(config_path, checkpoint_path, output_file, num_steps, num_batches, u
         model = model.clone(quantize_mid=True)
         params = quantize_mid_block_params(params)
         click.echo("Info: int8 mid-block convolutions enabled")
+
+    if fused_resnet is None:
+        fused_resnet = bool(config["tpu"].get("fused_resnet"))
+    if fused_resnet:
+        if config["model"]["use_model"] != "UNet1d":
+            raise click.ClickException("--fused-resnet only applies to UNet1d")
+        model = model.clone(fused_resnet=True)
+        click.echo("Info: fused transposed ResnetBlock path enabled")
 
     dataset = build_dataset(config)
     sampler = DDIMSampler(model, process)

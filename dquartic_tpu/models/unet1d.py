@@ -31,7 +31,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .attention import Attention, LinearAttention, RMSNormParam, Transformer1d
+from .attention import Attention, LinearAttention, RMSNormParam, Transformer1d, _ConvParams
+from .fused_blocks import ResnetBlockT
 from .layers import (
     ConditionalScaleShift,
     Downsample,
@@ -83,6 +84,15 @@ class UNet1d(nn.Module):
     # (no custom vjp): convert a trained tree with
     # ops.quantization.quantize_mid_block_params.
     quantize_mid: bool = False
+    # Run the per-row down/up path **transposed-resident**: activations
+    # stay logically (b*rt, C, mz') with m/z on the minor axis, every
+    # ResnetBlock is one fused Pallas launch (ops/fused_resnet.py), the
+    # linattn kernel's boundary transposes cancel against the model's,
+    # and the bottleneck pivot / final head become pure reshapes. Kills
+    # the ~5.6 ms of rows-minor <-> mz-minor relayout copies the round-3
+    # trace found (BENCH_NOTES.md roofline). Inference-only (the fused
+    # kernel has no vjp); incompatible with activation_sharding.
+    fused_resnet: bool = False
     # Rematerialize ResNet blocks in the backward pass: trades FLOPs for
     # HBM so full-resolution windows (e.g. rt=340 x mz=30000 from the
     # reference's production data-gen settings, run_data_gen.sh) fit.
@@ -129,13 +139,24 @@ class UNet1d(nn.Module):
         la_impl = self.linear_attn_impl
         if self.activation_sharding is not None and la_impl == "auto":
             la_impl = "xla"
+        fuse = self.fused_resnet
+        if fuse and self.activation_sharding is not None:
+            raise ValueError("fused_resnet is incompatible with activation_sharding")
+        if fuse and self.dropout > 0:
+            raise ValueError("fused_resnet is inference-only; requires dropout == 0")
         if self.remat_blocks:
             if self.dropout > 0:
                 raise ValueError("remat_blocks requires dropout == 0")
             ResBlock = nn.remat(ResnetBlock)
         else:
             ResBlock = ResnetBlock
-        LinAttn = nn.remat(LinearAttention) if self.remat_linear_attn else LinearAttention
+        # static_argnums: 0 is self; 3 is the python-bool `residual` flag
+        # of LinearAttention.__call__ (tracing it breaks jax.checkpoint)
+        LinAttn = (
+            nn.remat(LinearAttention, static_argnums=(3,))
+            if self.remat_linear_attn
+            else LinearAttention
+        )
 
         init_dim = self.init_dim if self.init_dim is not None else self.dim
         time_dim = self.dim * 4
@@ -179,7 +200,38 @@ class UNet1d(nn.Module):
 
         x = conv1d(init_dim, 7, padding=3, dtype=dtype, name="init_conv")(x)
         x = constrain(x)
+        if fuse:
+            # enter the transposed-resident region: ONE real transpose;
+            # every later layout flip either cancels against a kernel
+            # boundary or degenerates to a reshape.
+            x = jnp.swapaxes(x, 1, 2)  # (b*rt, C, mz)
         r = x
+
+        def rows_block(h, dim_o, name):
+            """ResnetBlock on per-row activations (both layouts)."""
+            if fuse:
+                return ResnetBlockT(
+                    dim_o, time_emb_dim=time_dim, dtype=dtype, name=name
+                )(h, t_rows)
+            return ResBlock(
+                dim_o, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype,
+                name=name,
+            )(h, t_rows, deterministic)
+
+        def rows_linattn(h, dim_, name_norm, name_fn):
+            """norm -> linattn -> +residual sandwich; under fuse the
+            swapaxes pair cancels against the pallas_t kernel's own."""
+            g_pre_ = RMSNormParam(dim_, name=name_norm)()
+            attn = LinAttn(dim_, impl=la_impl, dtype=dtype, name=name_fn)
+            if fuse:
+                return jnp.swapaxes(attn(jnp.swapaxes(h, 1, 2), g_pre_, True), 1, 2)
+            return attn(h, g_pre_, True)
+
+        def rows_conv(h, mod):
+            """Feature-last conv module applied in either layout."""
+            if fuse:
+                return jnp.swapaxes(mod(jnp.swapaxes(h, 1, 2)), 1, 2)
+            return mod(h)
 
         # ---- MS1 condition tower (unet1d.py:966-1001, 1120-1130) -------- #
         cond = None
@@ -232,34 +284,32 @@ class UNet1d(nn.Module):
         skips = []
         for i, (dim_in, dim_out) in enumerate(in_out):
             is_last = i >= (len(in_out) - 1)
-            x = ResBlock(
-                dim_in, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype,
-                name=f"downs_{i}_block1",
-            )(x, t_rows, deterministic)
+            x = rows_block(x, dim_in, f"downs_{i}_block1")
             skips.append(x)
 
-            x = ResBlock(
-                dim_in, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype,
-                name=f"downs_{i}_block2",
-            )(x, t_rows, deterministic)
+            x = rows_block(x, dim_in, f"downs_{i}_block2")
             # norm -> attn -> +x sandwich; the pallas_t kernel fuses all
             # three into one launch (pre-norm + residual live in VMEM)
-            g_pre = RMSNormParam(dim_in, name=f"downs_{i}_attn_norm")()
-            x = LinAttn(dim_in, impl=la_impl, dtype=dtype, name=f"downs_{i}_attn_fn")(
-                x, g_pre, True
-            )
+            x = rows_linattn(x, dim_in, f"downs_{i}_attn_norm", f"downs_{i}_attn_fn")
             skips.append(x)
 
             if not is_last:
-                x = Downsample(dim_out, dtype=dtype, name=f"downs_{i}_downsample")(x)
+                mod = Downsample(dim_out, dtype=dtype, name=f"downs_{i}_downsample")
             else:
-                x = conv1d(dim_out, 3, padding=1, dtype=dtype, name=f"downs_{i}_downsample")(x)
+                mod = conv1d(dim_out, 3, padding=1, dtype=dtype, name=f"downs_{i}_downsample")
+            x = rows_conv(x, mod)
             x = constrain(x)
 
         # ---- bottleneck: pivot to (b, rt, C*mz') (unet1d.py:1144-1148) --- #
         mid_dim = dims[-1]
-        mzp = x.shape[1]  # = mz // 2**(n_levels-1) for canonical shapes
-        x = x.reshape(b, rt, mzp, mid_dim).transpose(0, 1, 3, 2).reshape(b, rt, mid_dim * mzp)
+        if fuse:
+            # transposed rows are already channel-major: the pivot's (d, mz)
+            # flattening is a pure reshape — no transpose op at all
+            mzp = x.shape[2]
+            x = x.reshape(b, rt, mid_dim * mzp)
+        else:
+            mzp = x.shape[1]  # = mz // 2**(n_levels-1) for canonical shapes
+            x = x.reshape(b, rt, mzp, mid_dim).transpose(0, 1, 3, 2).reshape(b, rt, mid_dim * mzp)
         mid_ch = mid_dim * mzp
 
         x = ResBlock(
@@ -298,31 +348,27 @@ class UNet1d(nn.Module):
             quantize_weights=self.quantize_mid, dtype=dtype, name="mid_block2",
         )(x, t, deterministic)
 
-        x = x.reshape(b, rt, mid_dim, mzp).transpose(0, 1, 3, 2).reshape(b * rt, mzp, mid_dim)
+        if fuse:
+            x = x.reshape(b * rt, mid_dim, mzp)
+        else:
+            x = x.reshape(b, rt, mid_dim, mzp).transpose(0, 1, 3, 2).reshape(b * rt, mzp, mid_dim)
 
         # ---- up path (unet1d.py:1060-1076, 1150-1158) -------------------- #
+        ch_axis = 1 if fuse else -1
         for i, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = i == (len(in_out) - 1)
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResBlock(
-                dim_out, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype,
-                name=f"ups_{i}_block1",
-            )(x, t_rows, deterministic)
+            x = jnp.concatenate([x, skips.pop()], axis=ch_axis)
+            x = rows_block(x, dim_out, f"ups_{i}_block1")
 
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResBlock(
-                dim_out, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype,
-                name=f"ups_{i}_block2",
-            )(x, t_rows, deterministic)
-            g_pre = RMSNormParam(dim_out, name=f"ups_{i}_attn_norm")()
-            x = LinAttn(dim_out, impl=la_impl, dtype=dtype, name=f"ups_{i}_attn_fn")(
-                x, g_pre, True
-            )
+            x = jnp.concatenate([x, skips.pop()], axis=ch_axis)
+            x = rows_block(x, dim_out, f"ups_{i}_block2")
+            x = rows_linattn(x, dim_out, f"ups_{i}_attn_norm", f"ups_{i}_attn_fn")
 
             if not is_last:
-                x = Upsample(dim_in, dtype=dtype, name=f"ups_{i}_upsample")(x)
+                mod = Upsample(dim_in, dtype=dtype, name=f"ups_{i}_upsample")
             else:
-                x = conv1d(dim_in, 3, padding=1, dtype=dtype, name=f"ups_{i}_upsample")(x)
+                mod = conv1d(dim_in, 3, padding=1, dtype=dtype, name=f"ups_{i}_upsample")
+            x = rows_conv(x, mod)
             x = constrain(x)
 
         # ---- head (unet1d.py:1078-1084, 1160-1165) ----------------------- #
@@ -331,15 +377,18 @@ class UNet1d(nn.Module):
             if self.out_dim is not None
             else self.channels * (2 if self.learned_variance else 1)
         )
-        x = jnp.concatenate([x, r], axis=-1)
-        x = ResBlock(
-            init_dim, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype,
-            name="final_res_block",
-        )(x, t_rows, deterministic)
-        x = conv1d(out_dim, 1, dtype=dtype, name="final_conv")(x)
-
-        # '(b rt) mz d -> b (rt d) mz' (unet1d.py:1164)
-        x = x.reshape(b, rt, mz, out_dim).transpose(0, 1, 3, 2).reshape(b, rt * out_dim, mz)
+        x = jnp.concatenate([x, r], axis=ch_axis)
+        x = rows_block(x, init_dim, "final_res_block")
+        # '(b rt) mz d -> b (rt d) mz' (unet1d.py:1164); transposed rows
+        # make the final pivot a pure reshape too
+        if fuse:
+            kfc, bfc = _ConvParams(x.shape[1], out_dim, name="final_conv")()
+            x = jnp.einsum("bcn,co->bon", x, kfc[0].astype(dtype))
+            x = x + bfc.astype(dtype)[None, :, None]
+            x = x.reshape(b, rt * out_dim, mz)
+        else:
+            x = conv1d(out_dim, 1, dtype=dtype, name="final_conv")(x)
+            x = x.reshape(b, rt, mz, out_dim).transpose(0, 1, 3, 2).reshape(b, rt * out_dim, mz)
         if self.pos_output_only:
             x = nn.softplus(x)
         if squeeze_out and b == 1:

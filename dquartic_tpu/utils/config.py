@@ -29,6 +29,10 @@ TPU_DEFAULTS: Dict[str, Any] = {
     # ops/int8_matmul.py): halves the dominant weight stream of the
     # canonical UNet1d forward. Used by `predict`; training is unaffected.
     "quantize_mid": False,
+    # Inference-time transposed-resident conv stack (fused Pallas
+    # ResnetBlocks, ops/fused_resnet.py): removes the rows-minor <->
+    # mz-minor relayout copies. Used by `predict`; training is unaffected.
+    "fused_resnet": False,
 }
 
 _OVERRIDE_KEYS = {

@@ -36,12 +36,12 @@ def main():
         float(jnp.sum(out))
         return (time.perf_counter() - t0) / n * 1000
 
-    def build(impl, quantize_mid):
+    def build(impl, quantize_mid, fused=False):
         m = UNet1d(
             dim=4, channels=1, dim_mults=(1, 2, 2, 3, 3, 4, 4), conditional=True,
             init_cond_channels=1, attn_cond_channels=1, tfer_dim_mult=620,
             downsample_dim=40000, simple=True, dtype=jnp.bfloat16,
-            linear_attn_impl=impl,
+            linear_attn_impl=impl, fused_resnet=fused,
         )
         params = m.init(jax.random.PRNGKey(0), x, t, ms2, ms1)
         if quantize_mid:
@@ -51,12 +51,13 @@ def main():
         return m, params, fwd
 
     ref_out = None
-    for label, impl, qm in (
-        ("xla", "xla", False),
-        ("pallas_t fused-sandwich", "pallas_t", False),
-        ("pallas_t + int8 mid", "pallas_t", True),
+    for label, impl, qm, fused in (
+        ("xla", "xla", False, False),
+        ("pallas_t fused-sandwich", "pallas_t", False, False),
+        ("pallas_t + int8 mid", "pallas_t", True, False),
+        ("+ fused transposed resnet", "pallas_t", True, True),
     ):
-        _, params, fwd = build(impl, qm)
+        _, params, fwd = build(impl, qm, fused)
         out = np.asarray(fwd(params, x, t, ms2, ms1), np.float32)
         if ref_out is None:
             ref_out, err = out, 0.0
