@@ -2,7 +2,10 @@
 by default) for the per-phase roofline table in BENCH_NOTES.md.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site JAX_CACHE_DIR=/tmp/dquartic_jax_cache \
-  python scripts/trace_unet_forward.py [trace_dir] [bf16|int8]
+  python scripts/trace_unet_forward.py [trace_dir] [bf16|int8|fused]
+
+(``fused`` = int8 mid convs + transposed-resident fused ResnetBlock path,
+the shipping inference configuration after round 3.)
 Then: python scripts/parse_xplane.py <trace_dir>
 """
 
@@ -35,8 +38,8 @@ def main():
         linear_attn_impl="pallas_t",
     )
     params = jax.jit(m.init)(jax.random.PRNGKey(0), x, t, ms2, ms1)
-    if variant == "int8":
-        m = m.clone(quantize_mid=True)
+    if variant in ("int8", "fused"):
+        m = m.clone(quantize_mid=True, fused_resnet=(variant == "fused"))
         params = jax.jit(quantize_mid_block_params)(params)
     fwd = jax.jit(lambda p, a, b_, c, d: m.apply(p, a, b_, c, d))
 

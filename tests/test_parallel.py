@@ -211,7 +211,17 @@ def test_sp_training_at_production_shape():
     padded to 30016 for the 7-level stride — 7 levels is the only viable
     depth at this m/z (shallower nets explode the bottleneck channel
     count: at 3 levels the mid conv would be (3, 30000, 30000) = 43 GB).
-    Single step must produce finite loss + grads under sp=2."""
+    Single step must produce finite loss + grads under sp=2.
+
+    Uses the production memory recipe (remat_blocks + remat_linear_attn,
+    BENCH_NOTES.md round-3 full-res section): without remat the XLA
+    linear-attention path saves (rt, heads, mz, dim_head) qkv expansions
+    — ~5 GB f32 *each* at this shape — and a CPU run was measured
+    OOM-killing a 125 GB host; bf16 compute (the production dtype)
+    halves the remaining transient expansions. With the recipe the run
+    passes in ~23 min / ~114 GB peak RSS on a 125 GB CPU host (the cost
+    is CPU-emulated bf16 + weak CPU fusion, not the TPU footprint —
+    the same step on the real 16 GB chip is 477 ms, BENCH_NOTES.md)."""
     import optax
 
     mesh = make_mesh(dp=1, sp=2, tp=1, devices=jax.devices()[:2])
@@ -220,6 +230,7 @@ def test_sp_training_at_production_shape():
         dim=4, channels=1, dim_mults=(1, 1, 1, 1, 1, 1, 1), conditional=True,
         init_cond_channels=1, attn_cond_channels=1, downsample_dim=mz,
         simple=True, activation_sharding=("dp", "sp"),
+        remat_blocks=True, remat_linear_attn=True, dtype=jnp.bfloat16,
     )
     process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
     trainer = Trainer(
