@@ -101,6 +101,7 @@ def train(config_path, parquet_directory, ms2_data_path, ms1_data_path, batch_si
             trainer.logger,
             out_dir=os.path.dirname(m["checkpoint_path"]) or ".",
             num_steps=config["tpu"]["prediction_num_steps"],
+            backend=config["tpu"].get("plot_backend", "matplotlib"),
         )
 
     state = trainer.train(

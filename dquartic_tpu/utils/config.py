@@ -25,6 +25,11 @@ TPU_DEFAULTS: Dict[str, Any] = {
     "sample_num_steps": 50,
     "prediction_num_steps": [100, 500, 1000],
     "log_predictions": False,
+    # Panel renderer for the prediction tables: "matplotlib" / "plotly"
+    # (native heatmaps) or "ms_matplotlib" / "ms_plotly" (the reference's
+    # pyopenms_viz 3-D peakmap styling, reimplemented natively in
+    # utils/viz.py — reference model_interface.py:796-976).
+    "plot_backend": "matplotlib",
     # Inference-time int8 mid-block convs (Pallas dequant-in-VMEM kernel,
     # ops/int8_matmul.py): halves the dominant weight stream of the
     # canonical UNet1d forward. Used by `predict`; training is unaffected.

@@ -1,8 +1,8 @@
 """Worker for the 2-process CPU multihost test (run by test_multihost.py).
 
-Each process owns 4 virtual CPU devices (8 global), joins a local
+Each process owns 2 virtual CPU devices (4 global), joins a local
 jax.distributed cluster, and runs a real ``Trainer.train`` epoch loop on
-a dp=8 mesh — exercising ``global_batch_from_local`` feeding and the
+a dp=4 mesh — exercising ``global_batch_from_local`` feeding and the
 process-0 msgpack checkpoint guard end-to-end.
 
 Usage: python _multihost_worker.py <coordinator> <num_procs> <pid> <tmpdir>
@@ -20,19 +20,24 @@ def main():
         sys.argv[4],
     )
     os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
     ).strip()
     os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # NO persistent compile cache here, deliberately: with a shared cache
+    # one process can hit while the other compiles (>30 s on this 1-core
+    # host), and the desync blows Gloo's 30 s GetKeyValue rendezvous
+    # deadline (measured: flaky DEADLINE_EXCEEDED). Symmetric compiles
+    # keep the processes in sync.
     jax.distributed.initialize(
         coordinator_address=coordinator, num_processes=num_procs, process_id=pid
     )
     assert jax.process_count() == num_procs
-    assert jax.device_count() == 4 * num_procs, jax.devices()
-    assert len(jax.local_devices()) == 4
+    assert jax.device_count() == 2 * num_procs, jax.devices()
+    assert len(jax.local_devices()) == 2
 
     import numpy as np
 
@@ -42,7 +47,7 @@ def main():
     from dquartic_tpu.parallel import make_mesh
     from dquartic_tpu.train import Trainer
 
-    mesh = make_mesh(dp=4 * num_procs, devices=jax.devices())
+    mesh = make_mesh(dp=2 * num_procs, devices=jax.devices())
     model = UNet1d(
         dim=4, channels=1, dim_mults=(1, 2), conditional=True,
         init_cond_channels=1, attn_cond_channels=1, downsample_dim=16,
@@ -53,7 +58,7 @@ def main():
     # Every process samples the SAME global batches (shared seed); the
     # trainer slices out this process's rows internally.
     rng = np.random.default_rng(0)
-    b, rt, mz = 4 * num_procs, 4, 16
+    b, rt, mz = 2 * num_procs, 4, 16
     batches = [
         {
             "ms2_1": rng.uniform(0, 1, (b, rt, mz)).astype(np.float32),

@@ -155,6 +155,35 @@ def test_wandb_logger_wraps_image_paths(tmp_path, monkeypatch):
     assert tbl.rows[1][1] == str(tmp_path / "missing.png")  # absent file passes through
 
 
+def test_ms_peakmap_backends(tmp_path):
+    """pyopenms_viz-style panels (reference model_interface.py:796-976
+    backend="ms_matplotlib"/"ms_plotly"): the native reimplementation
+    renders all six panels as 3-D spike peakmaps / chromatograms."""
+    from dquartic_tpu.utils.viz import plot_single_prediction
+
+    rng = np.random.default_rng(0)
+    mesh = rng.uniform(0, 10, size=(6, 12)).astype(np.float32)
+    ms1 = rng.uniform(0, 5, size=(6,)).astype(np.float32)
+
+    paths = plot_single_prediction(
+        mesh, mesh, mesh, ms1, mesh, mesh,
+        out_dir=str(tmp_path / "ms_mpl"), prefix="p_", backend="ms_matplotlib",
+    )
+    assert len(paths) == 6
+    for pth in paths:
+        assert os.path.exists(pth) and os.path.getsize(pth) > 0
+        assert pth.endswith(".png")
+
+    paths = plot_single_prediction(
+        mesh, mesh, mesh, ms1, mesh, mesh,
+        out_dir=str(tmp_path / "ms_plotly"), prefix="p_", backend="ms_plotly",
+        rt_axis=np.linspace(100.0, 105.0, 6), mz_axis=np.linspace(400.0, 411.0, 12),
+    )
+    assert len(paths) == 6
+    for pth in paths:
+        assert os.path.exists(pth) and os.path.getsize(pth) > 0
+
+
 def test_viz_hook(tmp_path):
     import jax.numpy as jnp
 

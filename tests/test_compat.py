@@ -116,7 +116,7 @@ def test_unet_converter_structure_matches_init():
     model = UNet1d(**TINY)
     x = jnp.ones((1, 4, 16))
     t = jnp.zeros((1,), jnp.int32)
-    ref = model.init(jax.random.PRNGKey(0), x, t, x, jnp.ones((1, 4)))
+    ref = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t, x, jnp.ones((1, 4)))
 
     ref_flat = jax.tree_util.tree_flatten_with_path(ref)[0]
     conv_flat = jax.tree_util.tree_flatten_with_path(converted)[0]
@@ -125,7 +125,7 @@ def test_unet_converter_structure_matches_init():
     assert ref_map == conv_map
 
     # converted params actually run
-    out = model.apply(converted, x, t, x, jnp.ones((1, 4)))
+    out = jax.jit(model.apply)(converted, x, t, x, jnp.ones((1, 4)))
     assert out.shape == (1, 4, 16)
     assert np.isfinite(np.asarray(out)).all()
 
@@ -278,11 +278,11 @@ def test_custom_transformer_full_conversion_runs():
     x = jnp.ones((1, 5, in_dim))
     t = jnp.zeros((1,), jnp.int32)
     ms1 = jnp.ones((1, 5))
-    ref = model.init(jax.random.PRNGKey(0), x, t, None, ms1)
+    ref = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t, None, ms1)
     ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref)
     conv_shapes = jax.tree_util.tree_map(lambda a: a.shape, params)
     assert ref_shapes == conv_shapes
-    out = model.apply(params, x, t, None, ms1)
+    out = jax.jit(model.apply)(params, x, t, None, ms1)
     assert np.isfinite(np.asarray(out)).all()
 
 
@@ -413,7 +413,7 @@ def test_cli_convert_checkpoint_end_to_end(tmp_path):
     model = UNet1d(**TINY)
     params = {"params": ckpt["state"]["params"]["params"]}
     x = jnp.ones((1, 4, 16))
-    out = model.apply(params, x, jnp.zeros((1,), jnp.int32), x, jnp.ones((1, 4)))
+    out = jax.jit(model.apply)(params, x, jnp.zeros((1,), jnp.int32), x, jnp.ones((1, 4)))
     assert np.isfinite(np.asarray(out)).all()
 
 

@@ -119,7 +119,7 @@ def test_unet_fused_path_matches_unfused():
 
     m_ref = UNet1d(**kw)
     m_fused = UNet1d(**kw, fused_resnet=True)
-    params = m_ref.init(jax.random.PRNGKey(0), x, t, x, ms1)
+    params = jax.jit(m_ref.init)(jax.random.PRNGKey(0), x, t, x, ms1)
     p2 = jax.eval_shape(m_fused.init, jax.random.PRNGKey(0), x, t, x, ms1)
 
     flat_ref = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -128,8 +128,8 @@ def test_unet_fused_path_matches_unfused():
         (k, v.shape) for k, v in flat_fused
     ], "fused path must be checkpoint-compatible"
 
-    out_ref = m_ref.apply(params, x, t, x, ms1)
-    out_fused = m_fused.apply(params, x, t, x, ms1)
+    out_ref = jax.jit(m_ref.apply)(params, x, t, x, ms1)
+    out_fused = jax.jit(m_fused.apply)(params, x, t, x, ms1)
     assert out_fused.shape == out_ref.shape
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_ref), rtol=3e-5, atol=3e-5

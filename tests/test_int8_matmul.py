@@ -104,17 +104,17 @@ def test_unet_quantize_mid_drift():
     ic = x * 0.5
     ac = jnp.asarray(np.random.default_rng(4).uniform(size=(b, rt)).astype(np.float32))
 
-    params = model.init(jax.random.PRNGKey(0), x, t, ic, ac)
-    out_f32 = model.apply(params, x, t, ic, ac)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, ic, ac)
+    out_f32 = jax.jit(model.apply)(params, x, t, ic, ac)
 
     qmodel = model.clone(quantize_mid=True)
     qparams = quantize_mid_block_params(params)
     # converted tree must match the quantized model's declared structure
     expect = jax.tree_util.tree_structure(
-        qmodel.init(jax.random.PRNGKey(0), x, t, ic, ac)
+        jax.eval_shape(qmodel.init, jax.random.PRNGKey(0), x, t, ic, ac)
     )
     assert jax.tree_util.tree_structure(qparams) == expect
-    out_q = qmodel.apply(qparams, x, t, ic, ac)
+    out_q = jax.jit(qmodel.apply)(qparams, x, t, ic, ac)
 
     a = np.asarray(out_f32).ravel()
     bq = np.asarray(out_q).ravel()
@@ -133,7 +133,7 @@ def test_quantize_mid_block_params_leaves_rest_untouched():
         init_cond_channels=1, attn_cond_channels=1, downsample_dim=64,
     )
     x = jnp.zeros((1, 4, 64))
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32), x, jnp.zeros((1, 4))
     )
     q = quantize_mid_block_params(params)

@@ -29,7 +29,9 @@ def init_unet(config, b=2, rt=6, mz=32, ms1_2d=False):
     t = jnp.zeros((b,), jnp.int32)
     ic = jnp.ones((b, rt, mz)) * 0.5
     ac = jnp.ones((b, rt, 8)) if ms1_2d else jnp.ones((b, rt))
-    params = model.init(key, x, t, ic, ac)
+    # jitted init: eager per-op dispatch dominates on the 1-core host and
+    # the persistent cache makes repeat suite runs free
+    params = jax.jit(model.init)(key, x, t, ic, ac)
     return model, params, (x, t, ic, ac)
 
 
@@ -100,7 +102,7 @@ def test_unet_canonical_mult_pattern_shapes():
         simple=True,
     )
     model, params, (x, t, ic, ac) = init_unet(cfg, b=1, rt=4, mz=320)
-    out = model.apply(params, x, t, ic, ac)
+    out = jax.jit(model.apply)(params, x, t, ic, ac)
     assert out.shape == (1, 4, 320)
 
 
@@ -237,15 +239,18 @@ def test_remat_blocks_matches_non_remat():
     t = jnp.array([5], jnp.int32)
     ic = jnp.asarray(rng.normal(size=(1, 4, 32)).astype(np.float32))
     ac = jnp.asarray(rng.normal(size=(1, 4)).astype(np.float32))
-    params = model_a.init(key, x, t, ic, ac)
+    params = jax.jit(model_a.init)(key, x, t, ic, ac)
 
-    out_a = model_a.apply(params, x, t, ic, ac)
-    out_b = model_b.apply(params, x, t, ic, ac)
+    # jitted: eager op-by-op dispatch of the full 2-level net x4 costs
+    # ~40 s on this 1-core host; compiled (and persistently cached) it is
+    # seconds — and remat only has observable behavior under jit anyway
+    out_a = jax.jit(model_a.apply)(params, x, t, ic, ac)
+    out_b = jax.jit(model_b.apply)(params, x, t, ic, ac)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-6, atol=1e-7)
 
     # recompute reassociates float ops; allow small numerical drift
-    ga = jax.grad(lambda p: jnp.sum(model_a.apply(p, x, t, ic, ac) ** 2))(params)
-    gb = jax.grad(lambda p: jnp.sum(model_b.apply(p, x, t, ic, ac) ** 2))(params)
+    ga = jax.jit(jax.grad(lambda p: jnp.sum(model_a.apply(p, x, t, ic, ac) ** 2)))(params)
+    gb = jax.jit(jax.grad(lambda p: jnp.sum(model_b.apply(p, x, t, ic, ac) ** 2)))(params)
     for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4)
 

@@ -25,13 +25,20 @@ TINY = dict(
 )
 
 
+_INIT_CACHE = []
+
+
 def _init():
-    model = UNet1d(**TINY)
-    x = jnp.ones((1, 4, 64))
-    t = jnp.zeros((1,), jnp.int32)
-    ac = jnp.ones((1, 4))
-    params = model.init(jax.random.PRNGKey(0), x, t, x, ac)
-    return model, params, (x, t, x, ac)
+    # one jitted (persistently cached) init shared across this module's
+    # tests: eager init was ~3 s per test on the 1-core host
+    if not _INIT_CACHE:
+        model = UNet1d(**TINY)
+        x = jnp.ones((1, 4, 64))
+        t = jnp.zeros((1,), jnp.int32)
+        ac = jnp.ones((1, 4))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, x, ac)
+        _INIT_CACHE.append((model, params, (x, t, x, ac)))
+    return _INIT_CACHE[0]
 
 
 def test_roundtrip_error_small():
@@ -60,8 +67,9 @@ def test_model_size_shrinks_and_output_close():
     assert packed < raw * 0.65  # bottleneck weights dominate -> big shrink
 
     deq = dequantize_params(q)
-    out_ref = model.apply(params, *args)
-    out_q = model.apply(deq, *args)
+    japply = jax.jit(model.apply)
+    out_ref = japply(params, *args)
+    out_q = japply(deq, *args)
     ref = np.asarray(out_ref)
     rel = np.abs(np.asarray(out_q) - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 0.05
@@ -76,7 +84,7 @@ def test_apply_quantized_lazy_dequant():
 
     model, params, args = _init()
     q = quantize_params(params, min_size=1024)
-    out_explicit = model.apply(dequantize_params(q), *args)
+    out_explicit = jax.jit(model.apply)(dequantize_params(q), *args)
     out_lazy = jax.jit(lambda qp, *a: apply_quantized(model, qp, *a))(q, *args)
     np.testing.assert_allclose(
         np.asarray(out_lazy), np.asarray(out_explicit), rtol=1e-5, atol=1e-5
