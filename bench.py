@@ -252,21 +252,25 @@ ROUND2_TRAIN_MS = 122.6  # train ms/step, bs1 (BENCH_NOTES.md round 2)
 
 
 def bench_flagship():
-    """Default driver metric: canonical UNet1d sampling (int8 mid-block
-    weight streaming — the shipping inference config; drift vs bf16 is
-    test-pinned) + bf16 sampling and training alongside, vs_baseline =
-    round-over-round speedup vs the round-2 figure (which was bf16)."""
-    sample_int8 = bench_unet_sample(batch=1, quantize_mid=True)
+    """Default driver metric: canonical UNet1d sampling in the shipping
+    inference config — int8 mid-block weight streaming + the fused
+    transposed-resident ResnetBlock path (both test-pinned for drift /
+    parity vs the bf16 reference path) — plus bf16 sampling, training,
+    and batch-8 amortization alongside. vs_baseline = round-over-round
+    speedup vs the round-2 figure (which was bf16, unfused)."""
+    sample_ship = bench_unet_sample(batch=1, quantize_mid=True, fused_resnet=True)
     sample_bf16 = bench_unet_sample(batch=1)
+    sample_bs8 = bench_unet_sample(batch=8, quantize_mid=True, fused_resnet=True)
     train = bench_unet_train(batch_size=1)
     return {
-        "metric": sample_int8["metric"],
-        "value": sample_int8["value"],
-        "unit": sample_int8["unit"],
-        "vs_baseline": round(ROUND2_SAMPLE_MS / sample_int8["value"], 2),
+        "metric": sample_ship["metric"],
+        "value": sample_ship["value"],
+        "unit": sample_ship["unit"],
+        "vs_baseline": round(ROUND2_SAMPLE_MS / sample_ship["value"], 2),
         "extra": {
             "sample_ms_bf16_bs1": sample_bf16["value"],
             "sample_bf16_vs_round2": round(ROUND2_SAMPLE_MS / sample_bf16["value"], 2),
+            "sample_ms_per_window_bs8": sample_bs8["value"],
             "train_ms_per_sample_bs1": train["value"],
             "train_vs_round2": round(ROUND2_TRAIN_MS / train["value"], 2),
             "round2_sample_ms": ROUND2_SAMPLE_MS,

@@ -100,6 +100,39 @@ def test_kernel_bf16():
     )
 
 
+def test_unet_shipping_config_fused_plus_int8():
+    """The bench flagship / CLI shipping inference config — fused_resnet
+    AND quantize_mid together — stays close to the plain model (the two
+    optimizations touch disjoint blocks but must compose in one apply)."""
+    from dquartic_tpu.models import UNet1d
+    from dquartic_tpu.ops.quantization import quantize_mid_block_params
+
+    model = UNet1d(
+        dim=4, channels=1, dim_mults=(1, 2), conditional=True,
+        init_cond_channels=1, attn_cond_channels=1, downsample_dim=64,
+        simple=True,
+    )
+    rng = np.random.default_rng(7)
+    b, rt, mz = 2, 3, 64
+    x = jnp.asarray(rng.normal(size=(b, rt, mz)).astype(np.float32))
+    t = jnp.asarray([3, 11], jnp.int32)
+    ms1 = jnp.asarray(rng.uniform(size=(b, rt)).astype(np.float32))
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, x, ms1)
+    out_ref = jax.jit(model.apply)(params, x, t, x, ms1)
+
+    ship = model.clone(quantize_mid=True, fused_resnet=True)
+    qparams = quantize_mid_block_params(params)
+    out_ship = jax.jit(ship.apply)(qparams, x, t, x, ms1)
+
+    a = np.asarray(out_ref).ravel()
+    s = np.asarray(out_ship).ravel()
+    cos = float(a @ s / (np.linalg.norm(a) * np.linalg.norm(s) + 1e-12))
+    rel = float(np.linalg.norm(a - s) / (np.linalg.norm(a) + 1e-12))
+    assert cos > 0.999, f"cosine {cos}"
+    assert rel < 0.05, f"relative error {rel}"
+
+
 def test_unet_fused_path_matches_unfused():
     """The transposed-resident inference path (fused_resnet=True) declares
     an identical parameter tree and computes the same function as the
