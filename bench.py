@@ -198,7 +198,7 @@ def bench_unet_sample(
     }
 
 
-def bench_unet_train(batch_size=1):
+def bench_unet_train(batch_size=1, fused_resnet=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -213,7 +213,13 @@ def bench_unet_train(batch_size=1):
     # runs the transposed Pallas kernel in BOTH directions (the streamed
     # custom backward saves only x + weights, so the qkv expansions never
     # exist in HBM and batch 8 fits where the XLA path OOMed at batch 2).
-    model = _canonical_unet(jnp.bfloat16).clone(remat_blocks=True)
+    # fused_resnet: the down/up ResnetBlocks run as single Pallas launches
+    # in the transposed (C, N) layout, forward AND backward (custom_vjp
+    # recomputes from (x, params) — remat-equivalent); remat_blocks still
+    # covers the mid blocks.
+    model = _canonical_unet(jnp.bfloat16).clone(
+        remat_blocks=True, fused_resnet=fused_resnet
+    )
     process = DDIMProcess(schedule=make_schedule(1000, "cosine", "eps"))
     tx = optax.chain(
         optax.clip_by_global_norm(10.0),
@@ -236,6 +242,8 @@ def bench_unet_train(batch_size=1):
 
     ms = _time_fn(step, warmup=2, iters=int(os.environ.get("BENCH_STEPS", "10")))
     recipe = "bf16+remat+factored-rms+pallas-linattn"
+    if fused_resnet:
+        recipe += "+fused-resnet"
     return {
         "metric": (
             f"train step ms per sample (UNet1d canonical 1.2B params, "
@@ -297,6 +305,10 @@ MODES = {
     # batch 8: best measured per-sample train step with the kernel
     # backward (65.8 ms/sample vs 122.6 at bs1 and 215 in round 1).
     "unet_train_batched": lambda: bench_unet_train(batch_size=8),
+    # trainable fused-resnet path: one Pallas launch per down/up block in
+    # both directions (ops/fused_resnet.py custom_vjp)
+    "unet_train_fused": lambda: bench_unet_train(batch_size=1, fused_resnet=True),
+    "unet_train_fused_batched": lambda: bench_unet_train(batch_size=8, fused_resnet=True),
 }
 
 

@@ -12,9 +12,11 @@ removes the cause instead of the symptom.
 
 :class:`ResnetBlockT` declares the exact same parameter tree (module and
 param names, shapes) as :class:`dquartic_tpu.models.layers.ResnetBlock`,
-so one checkpoint runs on either path; equivalence is pinned in
-tests/test_fused_resnet.py. Inference-only (the kernel has no custom
-vjp); training keeps the unfused remat-friendly modules.
+so one checkpoint runs on either path; forward and gradient equivalence
+is pinned in tests/test_fused_resnet.py. Trainable: the kernel's
+custom_vjp recomputes from (x, params) in a single backward Pallas pass,
+so the fused path is remat-equivalent by construction (no dropout path —
+requires dropout == 0).
 
 Matches the reference block structure at
 /root/reference/dquartic/model/unet1d.py:223-323.
@@ -86,7 +88,7 @@ class ResnetBlockT(nn.Module):
         time_emb: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        del deterministic  # inference path; dropout is a train-only no-op here
+        del deterministic  # no dropout path (UNet1d guards dropout == 0)
         c_in = x_t.shape[1]
         scale = shift = None
         if self.time_emb_dim is not None and time_emb is not None:

@@ -90,8 +90,10 @@ class UNet1d(nn.Module):
     # linattn kernel's boundary transposes cancel against the model's,
     # and the bottleneck pivot / final head become pure reshapes. Kills
     # the ~5.6 ms of rows-minor <-> mz-minor relayout copies the round-3
-    # trace found (BENCH_NOTES.md roofline). Inference-only (the fused
-    # kernel has no vjp); incompatible with activation_sharding.
+    # trace found (BENCH_NOTES.md roofline). Trainable: the kernel's
+    # custom_vjp runs a recompute-based backward Pallas pass that saves
+    # only (x, params) — remat-equivalent by construction. Requires
+    # dropout == 0; incompatible with activation_sharding.
     fused_resnet: bool = False
     # Rematerialize ResNet blocks in the backward pass: trades FLOPs for
     # HBM so full-resolution windows (e.g. rt=340 x mz=30000 from the
@@ -143,7 +145,10 @@ class UNet1d(nn.Module):
         if fuse and self.activation_sharding is not None:
             raise ValueError("fused_resnet is incompatible with activation_sharding")
         if fuse and self.dropout > 0:
-            raise ValueError("fused_resnet is inference-only; requires dropout == 0")
+            raise ValueError(
+                "fused_resnet requires dropout == 0 (the fused kernel has no "
+                "dropout path)"
+            )
         if self.remat_blocks:
             if self.dropout > 0:
                 raise ValueError("remat_blocks requires dropout == 0")

@@ -130,6 +130,16 @@ def build_trainer(
         and model.activation_sharding is None
     ):
         model = model.clone(activation_sharding=("dp", "sp"))
+    # tpu.fused_resnet: transposed-resident down/up path (trainable — the
+    # fused kernel has a recompute-based custom vjp). Incompatible with
+    # activation (sp) sharding; the UNet1d constructor enforces dropout==0.
+    if (
+        config["tpu"].get("fused_resnet")
+        and hasattr(model, "fused_resnet")
+        and not model.fused_resnet
+        and getattr(model, "activation_sharding", None) is None
+    ):
+        model = model.clone(fused_resnet=True)
     if logger is None:
         import os
 
