@@ -119,6 +119,10 @@ class LinearAttention(nn.Module):
     dim_head: int = 32
     impl: str = "auto"
     dtype: Dtype = jnp.float32
+    # mesh axis the rows are sharded over (data-parallel training): the
+    # pallas_t path runs its shard_map variant so jit-SPMD keeps the
+    # kernel per-shard instead of all-gathering around the custom call
+    dp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -160,7 +164,7 @@ class LinearAttention(nn.Module):
             return fused_linear_attention_t(
                 x.astype(self.dtype), w_qkv[0], w_out[0], b_out, g,
                 heads=self.heads, dim_head=self.dim_head,
-                g_pre=g_pre, residual=residual,
+                g_pre=g_pre, residual=residual, dp_axis=self.dp_axis,
             )
         if impl == "pallas":
             from ..ops.linear_attention import fused_linear_attention

@@ -80,6 +80,10 @@ class ResnetBlockT(nn.Module):
     time_emb_dim: Optional[int] = None
     dtype: Dtype = jnp.float32
     block_n: int = 4096
+    # mesh axis the rows are sharded over (data-parallel training): run
+    # the shard_map variant so jit-SPMD keeps the kernel per-shard
+    # instead of all-gathering around the custom call
+    dp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -107,5 +111,5 @@ class ResnetBlockT(nn.Module):
 
         return fused_resnet_block_t(
             x_t.astype(self.dtype), w1, b1, g1, scale, shift, w2, b2, g2,
-            w_res, b_res, block_n=self.block_n,
+            w_res, b_res, block_n=self.block_n, dp_axis=self.dp_axis,
         )

@@ -95,6 +95,16 @@ class UNet1d(nn.Module):
     # only (x, params) — remat-equivalent by construction. Requires
     # dropout == 0; incompatible with activation_sharding.
     fused_resnet: bool = False
+    # Mesh axis the batch is data-parallel sharded over. A bare
+    # pallas_call has no jit-SPMD partitioning rule — XLA all-gathers the
+    # row-sharded activations and replicates the kernel on every device.
+    # With kernel_dp_axis set, every Pallas call site (linear attention,
+    # fused ResnetBlocks) runs its shard_map row-sharded variant instead:
+    # each device runs the unchanged kernel on its own rows, weight
+    # gradients are psum'd — numerically identical to single-device, and
+    # dp training keeps the kernel fast path. Incompatible with
+    # activation_sharding (sp partitions the m/z axis the kernels own).
+    kernel_dp_axis: Optional[str] = None
     # Rematerialize ResNet blocks in the backward pass: trades FLOPs for
     # HBM so full-resolution windows (e.g. rt=340 x mz=30000 from the
     # reference's production data-gen settings, run_data_gen.sh) fit.
@@ -144,6 +154,13 @@ class UNet1d(nn.Module):
         fuse = self.fused_resnet
         if fuse and self.activation_sharding is not None:
             raise ValueError("fused_resnet is incompatible with activation_sharding")
+        if self.kernel_dp_axis is not None and self.activation_sharding is not None:
+            raise ValueError(
+                "kernel_dp_axis is incompatible with activation_sharding (sp "
+                "partitions the m/z axis the Pallas kernels own; use the XLA "
+                "impl under sp instead)"
+            )
+        dp_ax = self.kernel_dp_axis
         if fuse and self.dropout > 0:
             raise ValueError(
                 "fused_resnet requires dropout == 0 (the fused kernel has no "
@@ -216,7 +233,8 @@ class UNet1d(nn.Module):
             """ResnetBlock on per-row activations (both layouts)."""
             if fuse:
                 return ResnetBlockT(
-                    dim_o, time_emb_dim=time_dim, dtype=dtype, name=name
+                    dim_o, time_emb_dim=time_dim, dtype=dtype, dp_axis=dp_ax,
+                    name=name,
                 )(h, t_rows)
             return ResBlock(
                 dim_o, time_emb_dim=time_dim, dropout=self.dropout, dtype=dtype,
@@ -227,7 +245,7 @@ class UNet1d(nn.Module):
             """norm -> linattn -> +residual sandwich; under fuse the
             swapaxes pair cancels against the pallas_t kernel's own."""
             g_pre_ = RMSNormParam(dim_, name=name_norm)()
-            attn = LinAttn(dim_, impl=la_impl, dtype=dtype, name=name_fn)
+            attn = LinAttn(dim_, impl=la_impl, dtype=dtype, dp_axis=dp_ax, name=name_fn)
             if fuse:
                 return jnp.swapaxes(attn(jnp.swapaxes(h, 1, 2), g_pre_, True), 1, 2)
             return attn(h, g_pre_, True)
@@ -260,9 +278,10 @@ class UNet1d(nn.Module):
                 ac = ResnetBlock(acid, time_emb_dim=None, dtype=dtype, name="attn_mz_res1")(ac)
                 ac = ResnetBlock(acid, time_emb_dim=None, dtype=dtype, name="attn_mz_res2")(ac)
                 g_pre = RMSNormParam(acid, name="attn_mz_attn_norm")()
-                ac = LinAttn(acid, impl=la_impl, dtype=dtype, name="attn_mz_attn_fn")(
-                    ac, g_pre, True
-                )
+                ac = LinAttn(
+                    acid, impl=la_impl, dtype=dtype, dp_axis=dp_ax,
+                    name="attn_mz_attn_fn",
+                )(ac, g_pre, True)
 
             # pivot '(b rt) mz d -> b rt (d mz)' with channel-major (d, mz)
             # flattening order for checkpoint parity (unet1d.py:1129)

@@ -539,6 +539,79 @@ def _fused_resnet_bwd(block_n, interpret, res, dy):
 _fused_resnet.defvjp(_fused_resnet_fwd, _fused_resnet_bwd)
 
 
+# --------------------------------------------------------------------- #
+# data-parallel (row-sharded) variant                                    #
+# --------------------------------------------------------------------- #
+#
+# Same motivation as the linear-attention dp wrappers (see
+# ops/linear_attention.py): a bare pallas_call under a jit-SPMD mesh gets
+# all-gathered and replicated, erasing data parallelism. The kernel's
+# grid dim 0 is the row axis, so shard_map over the dp axis runs the
+# unchanged kernel per shard; a custom_vjp psums the replicated-weight
+# cotangents in a sharded backward (dx and the per-row FiLM scale/shift
+# grads stay sharded).
+
+
+def _dp_specs(axis, row_flags):
+    from jax.sharding import PartitionSpec as P
+
+    return tuple(P(axis) if r else P() for r in row_flags)
+
+
+# row-sharded args of _fused_resnet's array operands, in order:
+# x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res
+_ROW_IN = (True, False, False, False, True, True, False, False, False, False, False)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_resnet_dp(
+    block_n, interpret, axis,
+    x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
+):
+    fn = lambda *a: _fused_resnet(block_n, interpret, *a)  # noqa: E731
+    return jax.shard_map(
+        fn,
+        in_specs=_dp_specs(axis, _ROW_IN),
+        out_specs=_dp_specs(axis, (True,))[0],
+        axis_names={axis},
+        check_vma=False,
+    )(x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res)
+
+
+def _fused_resnet_dp_fwd(
+    block_n, interpret, axis,
+    x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
+):
+    y = _fused_resnet_dp(
+        block_n, interpret, axis,
+        x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
+    )
+    return y, (x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res)
+
+
+def _fused_resnet_dp_bwd(block_n, interpret, axis, res, dy):
+    def body(x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res, dy):
+        grads = _backward(
+            block_n, interpret,
+            x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res, dy,
+        )
+        ps = lambda t: None if t is None else jax.lax.psum(t, axis)  # noqa: E731
+        return tuple(
+            g if row else ps(g) for g, row in zip(grads, _ROW_IN)
+        )
+
+    return jax.shard_map(
+        body,
+        in_specs=_dp_specs(axis, _ROW_IN + (True,)),
+        out_specs=_dp_specs(axis, _ROW_IN),
+        axis_names={axis},
+        check_vma=False,
+    )(*res, dy)
+
+
+_fused_resnet_dp.defvjp(_fused_resnet_dp_fwd, _fused_resnet_dp_bwd)
+
+
 def fused_resnet_block_t(
     x_t: jnp.ndarray,
     w1: jnp.ndarray,
@@ -554,6 +627,7 @@ def fused_resnet_block_t(
     *,
     block_n: int = 4096,
     interpret: Optional[bool] = None,
+    dp_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Fused ResnetBlock on transposed activations (differentiable).
 
@@ -570,11 +644,20 @@ def fused_resnet_block_t(
     Returns (B, C_out, N) in ``x_t.dtype``. Under ``jax.grad`` the
     recompute-based backward Pallas kernel produces every gradient in one
     launch; only (x, dy, params) are ever resident in HBM.
+
+    ``dp_axis``: name of a mesh axis the rows (dim 0 of ``x_t``) are
+    sharded over — runs the row-sharded shard_map variant so jit-SPMD
+    does not all-gather the activations around the custom call.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if (scale is None) != (shift is None):
         raise ValueError("scale and shift must both be provided or both None")
+    if dp_axis is not None:
+        return _fused_resnet_dp(
+            block_n, bool(interpret), dp_axis,
+            x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
+        )
     return _fused_resnet(
         block_n, bool(interpret),
         x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,

@@ -1092,6 +1092,114 @@ def _fused_t_nr_bwd(heads, dim_head, residual, res, grad):
 _fused_t_nr.defvjp(_fused_t_nr_fwd, _fused_t_nr_bwd)
 
 
+# --------------------------------------------------------------------- #
+# data-parallel (row-sharded) variants                                   #
+# --------------------------------------------------------------------- #
+#
+# Under a jit-SPMD mesh a bare pallas_call has no partitioning rule: XLA
+# all-gathers the row-sharded activations and replicates the whole kernel
+# on every device (measured: 4 all-gathers for a dp=4 mesh), silently
+# erasing data parallelism. The kernel is embarrassingly parallel over
+# rows (grid dim 0 is the batch axis), so the dp variants wrap it in
+# jax.shard_map over the dp mesh axis: each device runs the unchanged
+# kernel on its own row shard — numerically identical to single-device.
+# shard_map's automatic transpose cannot know the weights' cotangents
+# need a cross-shard reduction (check_vma=False for Pallas
+# compatibility), so a custom_vjp pairs the sharded forward with a
+# sharded backward that psums the replicated-weight gradients explicitly
+# (dx and other per-row grads stay sharded). This is the jnp.einsum-free
+# analogue of the reference's single-GPU DataParallel boundary
+# (model_interface.py:1070-1075) done the SPMD way.
+
+
+def _rep(n):
+    from jax.sharding import PartitionSpec as P
+
+    return (P(),) * n
+
+
+def _row(axis):
+    from jax.sharding import PartitionSpec as P
+
+    return P(axis)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_t_dp(x, w_qkv, w_out, b_out, g, heads, dim_head, axis):
+    fn = lambda *a: _fused_t(*a, heads, dim_head)  # noqa: E731
+    return jax.shard_map(
+        fn,
+        in_specs=(_row(axis),) + _rep(4),
+        out_specs=_row(axis),
+        axis_names={axis},
+        check_vma=False,
+    )(x, w_qkv, w_out, b_out, g)
+
+
+def _fused_t_dp_fwd(x, w_qkv, w_out, b_out, g, heads, dim_head, axis):
+    y = _fused_t_dp(x, w_qkv, w_out, b_out, g, heads, dim_head, axis)
+    return y, (x, w_qkv, w_out, b_out, g)
+
+
+def _fused_t_dp_bwd(heads, dim_head, axis, res, dy):
+    def body(x, w_qkv, w_out, b_out, g, dy):
+        dx, dwq, dwo, dbo, dg = _fused_t_bwd(
+            heads, dim_head, (x, w_qkv, w_out, b_out, g), dy
+        )
+        ps = lambda t: jax.lax.psum(t, axis)  # noqa: E731
+        return dx, ps(dwq), ps(dwo), ps(dbo), ps(dg)
+
+    return jax.shard_map(
+        body,
+        in_specs=(_row(axis),) + _rep(4) + (_row(axis),),
+        out_specs=(_row(axis),) + _rep(4),
+        axis_names={axis},
+        check_vma=False,
+    )(*res, dy)
+
+
+_fused_t_dp.defvjp(_fused_t_dp_fwd, _fused_t_dp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _fused_t_nr_dp(x, w_qkv, w_out, b_out, g, g_pre, heads, dim_head, residual, axis):
+    fn = lambda *a: _fused_t_nr(*a, heads, dim_head, residual)  # noqa: E731
+    return jax.shard_map(
+        fn,
+        in_specs=(_row(axis),) + _rep(5),
+        out_specs=_row(axis),
+        axis_names={axis},
+        check_vma=False,
+    )(x, w_qkv, w_out, b_out, g, g_pre)
+
+
+def _fused_t_nr_dp_fwd(
+    x, w_qkv, w_out, b_out, g, g_pre, heads, dim_head, residual, axis
+):
+    y = _fused_t_nr_dp(x, w_qkv, w_out, b_out, g, g_pre, heads, dim_head, residual, axis)
+    return y, (x, w_qkv, w_out, b_out, g, g_pre)
+
+
+def _fused_t_nr_dp_bwd(heads, dim_head, residual, axis, res, dy):
+    def body(x, w_qkv, w_out, b_out, g, g_pre, dy):
+        dx, dwq, dwo, dbo, dg, dgp = _fused_t_nr_bwd(
+            heads, dim_head, residual, (x, w_qkv, w_out, b_out, g, g_pre), dy
+        )
+        ps = lambda t: jax.lax.psum(t, axis)  # noqa: E731
+        return dx, ps(dwq), ps(dwo), ps(dbo), ps(dg), ps(dgp)
+
+    return jax.shard_map(
+        body,
+        in_specs=(_row(axis),) + _rep(5) + (_row(axis),),
+        out_specs=(_row(axis),) + _rep(5),
+        axis_names={axis},
+        check_vma=False,
+    )(*res, dy)
+
+
+_fused_t_nr_dp.defvjp(_fused_t_nr_dp_fwd, _fused_t_nr_dp_bwd)
+
+
 def fused_linear_attention_t(
     x: jnp.ndarray,
     w_qkv: jnp.ndarray,
@@ -1102,6 +1210,7 @@ def fused_linear_attention_t(
     dim_head: int = 32,
     g_pre: jnp.ndarray = None,
     residual: bool = False,
+    dp_axis: str = None,
 ) -> jnp.ndarray:
     """Lane-dense transposed variant of :func:`fused_linear_attention`.
 
@@ -1114,13 +1223,26 @@ def fused_linear_attention_t(
     paired RMSNorm module) and ``residual`` adds the raw input to the
     output — together they absorb the norm -> attn -> +x sandwich
     (reference unet1d.py:446-496 used at 1017/1068) into one launch,
-    removing two full (N, C) HBM round trips per mixer."""
+    removing two full (N, C) HBM round trips per mixer.
+
+    ``dp_axis``: name of a mesh axis the rows (dim 0) are sharded over —
+    runs the row-sharded shard_map variant so jit-SPMD does not
+    all-gather the activations around the custom call (see the dp
+    section above)."""
     if g_pre is not None or residual:
         if g_pre is None:
             # residual-only: reuse the nr path with an identity prenorm is
             # NOT possible (it would still normalize); fall back to add.
+            if dp_axis is not None:
+                return x + _fused_t_dp(x, w_qkv, w_out, b_out, g, heads, dim_head, dp_axis)
             return x + _fused_t(x, w_qkv, w_out, b_out, g, heads, dim_head)
+        if dp_axis is not None:
+            return _fused_t_nr_dp(
+                x, w_qkv, w_out, b_out, g, g_pre, heads, dim_head, residual, dp_axis
+            )
         return _fused_t_nr(x, w_qkv, w_out, b_out, g, g_pre, heads, dim_head, residual)
+    if dp_axis is not None:
+        return _fused_t_dp(x, w_qkv, w_out, b_out, g, heads, dim_head, dp_axis)
     return _fused_t(x, w_qkv, w_out, b_out, g, heads, dim_head)
 
 

@@ -122,14 +122,29 @@ def build_trainer(
     process = build_process(config)
     if mesh is None:
         mesh = build_mesh(config, batch_size=config["model"]["batch_size"])
-    # Sequence-parallel meshes shard the m/z activations of the U-Net.
+    mesh_shape = dict(getattr(mesh, "shape", {})) if mesh is not None else {}
+    # Sequence-parallel meshes (sp > 1) shard the m/z activations of the
+    # U-Net; that axis belongs to the XLA impl (the Pallas kernels own
+    # the m/z axis and have no sp partitioning), so activation sharding
+    # only engages when sp actually splits.
     if (
-        mesh is not None
-        and "sp" in getattr(mesh, "axis_names", ())
+        mesh_shape.get("sp", 1) > 1
         and hasattr(model, "activation_sharding")
         and model.activation_sharding is None
     ):
         model = model.clone(activation_sharding=("dp", "sp"))
+    # Pure data-parallel meshes (dp > 1, sp == 1) keep the Pallas fast
+    # path: kernel_dp_axis makes every kernel call site run its
+    # shard_map row-sharded variant instead of letting jit-SPMD
+    # all-gather around the custom calls (numerically identical to
+    # single-device; see ops/linear_attention.py dp section).
+    if (
+        mesh_shape.get("dp", 1) > 1
+        and mesh_shape.get("sp", 1) == 1
+        and hasattr(model, "kernel_dp_axis")
+        and model.kernel_dp_axis is None
+    ):
+        model = model.clone(kernel_dp_axis="dp")
     # tpu.fused_resnet: transposed-resident down/up path (trainable — the
     # fused kernel has a recompute-based custom vjp). Incompatible with
     # activation (sp) sharding; the UNet1d constructor enforces dropout==0.
