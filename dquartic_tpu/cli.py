@@ -203,7 +203,13 @@ def predict(config_path, checkpoint_path, output_file, num_steps, num_batches, u
 
     from .infer import DDIMSampler
     from .train.checkpoint import load_checkpoint
-    from .utils.builder import build_dataset, build_model, build_process
+    from .utils.builder import (
+        apply_mesh_model_flags,
+        build_dataset,
+        build_mesh,
+        build_model,
+        build_process,
+    )
     from .utils.config import load_train_config
 
     _device_banner()
@@ -235,8 +241,15 @@ def predict(config_path, checkpoint_path, output_file, num_steps, num_batches, u
         model = model.clone(fused_resnet=True)
         click.echo("Info: fused transposed ResnetBlock path enabled")
 
-    dataset = build_dataset(config)
-    sampler = DDIMSampler(model, process)
+    # Multi-chip batch deconvolution: tpu.mesh shards prediction batches
+    # over dp; kernel_dp_axis / activation_sharding keep the kernels or
+    # the XLA impl partitioned correctly (same rules as training).
+    mesh = build_mesh(config, batch_size=config["model"]["batch_size"])
+    if mesh is not None:
+        model = apply_mesh_model_flags(model, mesh)
+        click.echo(f"Info: sampling over mesh {dict(mesh.shape)}")
+    dataset = build_dataset(config, mesh=mesh)
+    sampler = DDIMSampler(model, process, mesh=mesh)
     records = []
     for i, batch in enumerate(iter(dataset)):
         if num_batches is not None and i >= num_batches:

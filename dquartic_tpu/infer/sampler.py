@@ -56,7 +56,13 @@ class DDIMSampler:
         Returns ``(x0_hat, pred_noise)`` following the reference output
         convention (model.py:319-324).
         """
-        return self._sample_fn(num_steps)(params, x_t, ms2_cond, ms1_cond)
+        fn = self._sample_fn(num_steps)
+        if self.mesh is not None:
+            # Ambient mesh so model-internal sharding constraints and the
+            # shard_map kernel variants (UNet1d.kernel_dp_axis) resolve.
+            with jax.set_mesh(self.mesh):
+                return fn(params, x_t, ms2_cond, ms1_cond)
+        return fn(params, x_t, ms2_cond, ms1_cond)
 
     def predict_batch(
         self,

@@ -111,6 +111,7 @@ class Int8Conv1d(nn.Module):
     kernel: int = 3
     impl: str = "auto"
     dtype: Dtype = jnp.float32
+    dp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -127,7 +128,7 @@ class Int8Conv1d(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         return int8_conv1d(
             x.astype(self.dtype), w_q, scale, bias, self.kernel, self.features,
-            impl=self.impl,
+            impl=self.impl, dp_axis=self.dp_axis,
         )
 
 
@@ -138,6 +139,7 @@ class Block(nn.Module):
     dropout: float = 0.0
     quantize_weights: bool = False
     dtype: Dtype = jnp.float32
+    dp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -147,7 +149,10 @@ class Block(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         if self.quantize_weights:
-            x = Int8Conv1d(self.dim_out, 3, dtype=self.dtype, name="proj")(x)
+            x = Int8Conv1d(
+                self.dim_out, 3, dtype=self.dtype, dp_axis=self.dp_axis,
+                name="proj",
+            )(x)
         else:
             x = conv1d(self.dim_out, 3, padding=1, dtype=self.dtype, name="proj")(x)
         x = RMSNorm(self.dim_out, dtype=self.dtype, name="norm")(x)
@@ -175,6 +180,7 @@ class ResnetBlock(nn.Module):
     dropout: float = 0.0
     quantize_weights: bool = False
     dtype: Dtype = jnp.float32
+    dp_axis: Optional[str] = None  # only consumed by the int8 path
 
     @nn.compact
     def __call__(
@@ -193,11 +199,12 @@ class ResnetBlock(nn.Module):
 
         h = Block(
             self.dim_out, dropout=self.dropout,
-            quantize_weights=self.quantize_weights, dtype=self.dtype, name="block1",
+            quantize_weights=self.quantize_weights, dtype=self.dtype,
+            dp_axis=self.dp_axis, name="block1",
         )(x, scale_shift=scale_shift, deterministic=deterministic)
         h = Block(
             self.dim_out, quantize_weights=self.quantize_weights,
-            dtype=self.dtype, name="block2",
+            dtype=self.dtype, dp_axis=self.dp_axis, name="block2",
         )(h)
 
         if x.shape[-1] != self.dim_out:

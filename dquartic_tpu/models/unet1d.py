@@ -338,7 +338,8 @@ class UNet1d(nn.Module):
 
         x = ResBlock(
             mid_ch, time_emb_dim=time_dim, dropout=self.dropout,
-            quantize_weights=self.quantize_mid, dtype=dtype, name="mid_block1",
+            quantize_weights=self.quantize_mid, dtype=dtype, dp_axis=dp_ax,
+            name="mid_block1",
         )(x, t, deterministic)
 
         xn = RMSNorm(mid_ch, dtype=dtype, name="mid_attn_norm")(x)
@@ -369,7 +370,8 @@ class UNet1d(nn.Module):
 
         x = ResBlock(
             mid_ch, time_emb_dim=time_dim, dropout=self.dropout,
-            quantize_weights=self.quantize_mid, dtype=dtype, name="mid_block2",
+            quantize_weights=self.quantize_mid, dtype=dtype, dp_axis=dp_ax,
+            name="mid_block2",
         )(x, t, deterministic)
 
         if fuse:

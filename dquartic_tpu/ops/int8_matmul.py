@@ -184,13 +184,31 @@ def int8_conv1d(
     kernel: int,
     features: int,
     impl: str = "auto",
+    dp_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Same-padding stride-1 conv over axis 1 with int8 weights.
 
     x (b, L, C_in); w_q/scale from :func:`quantize_conv_kernel`; returns
     (b, L, features) in x.dtype. The im2col expansion is k× the (tiny)
     activation — negligible next to the weight stream it halves.
+
+    ``dp_axis``: mesh axis the batch (dim 0) is sharded over — runs the
+    kernel per shard under shard_map so jit-SPMD does not all-gather
+    around the custom call (inference-only op: no backward needed).
     """
+    if dp_axis is not None:
+        from jax.sharding import PartitionSpec as P
+
+        fn = lambda a, w, s: int8_conv1d(  # noqa: E731
+            a, w, s, bias, kernel, features, impl=impl
+        )
+        return jax.shard_map(
+            fn,
+            in_specs=(P(dp_axis), P(), P()),
+            out_specs=P(dp_axis),
+            axis_names={dp_axis},
+            check_vma=False,
+        )(x, w_q, scale)
     b, length, cin = x.shape
     pad = (kernel - 1) // 2
     xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))

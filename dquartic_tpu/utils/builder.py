@@ -115,29 +115,26 @@ def build_dataset(config: Dict[str, Any], seed: int = 0, mesh=None):
     return prefetch_iterator(batches, size=config["tpu"]["prefetch"], mesh=mesh)
 
 
-def build_trainer(
-    config: Dict[str, Any], mesh=None, logger=None, seed: int = 0
-) -> Trainer:
-    model = build_model(config)
-    process = build_process(config)
-    if mesh is None:
-        mesh = build_mesh(config, batch_size=config["model"]["batch_size"])
+def apply_mesh_model_flags(model, mesh):
+    """Clone the mesh-dependent UNet1d flags onto ``model`` (shared by
+    the trainer builder and the predict CLI).
+
+    * sp > 1: the m/z axis shards over the mesh — activation sharding
+      constraints + the XLA impl own it (the Pallas kernels have no sp
+      partitioning rule).
+    * dp > 1, sp == 1: keep the Pallas fast path — ``kernel_dp_axis``
+      makes every kernel call site run its shard_map row-sharded variant
+      instead of letting jit-SPMD all-gather around the custom calls
+      (numerically identical to single-device; see the dp section in
+      ops/linear_attention.py).
+    """
     mesh_shape = dict(getattr(mesh, "shape", {})) if mesh is not None else {}
-    # Sequence-parallel meshes (sp > 1) shard the m/z activations of the
-    # U-Net; that axis belongs to the XLA impl (the Pallas kernels own
-    # the m/z axis and have no sp partitioning), so activation sharding
-    # only engages when sp actually splits.
     if (
         mesh_shape.get("sp", 1) > 1
         and hasattr(model, "activation_sharding")
         and model.activation_sharding is None
     ):
         model = model.clone(activation_sharding=("dp", "sp"))
-    # Pure data-parallel meshes (dp > 1, sp == 1) keep the Pallas fast
-    # path: kernel_dp_axis makes every kernel call site run its
-    # shard_map row-sharded variant instead of letting jit-SPMD
-    # all-gather around the custom calls (numerically identical to
-    # single-device; see ops/linear_attention.py dp section).
     if (
         mesh_shape.get("dp", 1) > 1
         and mesh_shape.get("sp", 1) == 1
@@ -145,6 +142,17 @@ def build_trainer(
         and model.kernel_dp_axis is None
     ):
         model = model.clone(kernel_dp_axis="dp")
+    return model
+
+
+def build_trainer(
+    config: Dict[str, Any], mesh=None, logger=None, seed: int = 0
+) -> Trainer:
+    model = build_model(config)
+    process = build_process(config)
+    if mesh is None:
+        mesh = build_mesh(config, batch_size=config["model"]["batch_size"])
+    model = apply_mesh_model_flags(model, mesh)
     # tpu.fused_resnet: transposed-resident down/up path (trainable — the
     # fused kernel has a recompute-based custom vjp). Incompatible with
     # activation (sp) sharding; the UNet1d constructor enforces dropout==0.

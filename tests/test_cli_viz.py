@@ -308,3 +308,37 @@ def test_cli_generate_train_data(tmp_path):
 
     table = pq.read_table(out)
     assert table.num_rows > 0
+
+
+def test_cli_predict_dp_mesh(tiny_config):
+    """predict under a tpu.mesh config shards prediction batches over dp
+    (kernel_dp_axis path) through the product surface."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 virtual devices")
+    config_path, tmp_path = tiny_config
+    runner = CliRunner()
+    res = runner.invoke(cli, ["train", str(config_path)])
+    assert res.exit_code == 0, res.output
+    ckpt = tmp_path / "ckpt" / "best_model.ckpt"
+
+    cfg = json.loads(config_path.read_text())
+    cfg["tpu"]["mesh"] = {"dp": 2, "sp": 1, "tp": 1}
+    cfg["tpu"]["fused_resnet"] = True
+    dp_config = tmp_path / "config_dp.json"
+    dp_config.write_text(json.dumps(cfg))
+
+    out = tmp_path / "preds_dp.parquet"
+    res = runner.invoke(
+        cli,
+        ["predict", "--num-steps", "3", "--num-batches", "1", "--fused-resnet",
+         str(dp_config), str(ckpt), str(out)],
+    )
+    assert res.exit_code == 0, res.output
+    assert "sampling over mesh" in res.output
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out).to_pydict()
+    pred = np.asarray(t["pred"][0], dtype=np.float32)
+    assert np.isfinite(pred).all() and pred.std() > 0
