@@ -414,22 +414,24 @@ def test_dp_kernel_trainer_step_matches_single_device(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
 
 
-def test_builder_mesh_kernel_flags():
+def test_builder_mesh_kernel_flags(tmp_path):
     """build_trainer wires the mesh-dependent model flags: pure-dp meshes
     get kernel_dp_axis (Pallas kept), sp>1 meshes get activation_sharding
     (XLA impl owns the split m/z axis) and no kernel_dp_axis."""
     import json
+    import os
 
     from dquartic_tpu.utils.builder import build_trainer
     from dquartic_tpu.utils.config import generate_train_config
 
-    import tempfile, os
-
-    with tempfile.TemporaryDirectory() as td:
-        p = os.path.join(td, "c.json")
-        generate_train_config(p)
-        config = json.load(open(p))
+    p = os.path.join(tmp_path, "c.json")
+    generate_train_config(p)
+    config = json.load(open(p))
     config["model"]["batch_size"] = 4
+    # no wandb (another test monkeypatches a fake module in), JSONL logs
+    # into the sandboxed checkpoint dir
+    config["wandb"]["use_wandb"] = False
+    config["model"]["checkpoint_path"] = str(tmp_path / "ckpt" / "m.ckpt")
 
     mesh_dp = make_mesh(dp=2, tp=1, devices=jax.devices()[:2])
     tr = build_trainer(config, mesh=mesh_dp)
