@@ -1,8 +1,8 @@
 """Worker for the 2-process CPU multihost test (run by test_multihost.py).
 
-Each process owns 2 virtual CPU devices (4 global), joins a local
+Each process owns 1 virtual CPU device (dp=2 global), joins a local
 jax.distributed cluster, and runs a real ``Trainer.train`` epoch loop on
-a dp=4 mesh — exercising ``global_batch_from_local`` feeding and the
+a dp=2 mesh — exercising ``global_batch_from_local`` feeding and the
 process-0 msgpack checkpoint guard end-to-end.
 
 Usage: python _multihost_worker.py <coordinator> <num_procs> <pid> <tmpdir>
@@ -19,8 +19,16 @@ def main():
         int(sys.argv[3]),
         sys.argv[4],
     )
+    # 1 device per process (dp=2 global): the multihost semantics under
+    # test — per-process feeding, cross-process grad reduction, process-0
+    # checkpoint guard — are identical to 2x2 with a smaller SPMD program.
+    # Backend opt level 0 skips the expensive LLVM passes: both processes
+    # compile simultaneously and uncached on this 1-core host, and the
+    # test checks distribution semantics, not codegen quality (measured
+    # 110 s -> 65 s for the whole test).
     os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1"
+        + " --xla_backend_optimization_level=0"
     ).strip()
     os.environ["JAX_PLATFORMS"] = "cpu"
 
@@ -36,8 +44,8 @@ def main():
         coordinator_address=coordinator, num_processes=num_procs, process_id=pid
     )
     assert jax.process_count() == num_procs
-    assert jax.device_count() == 2 * num_procs, jax.devices()
-    assert len(jax.local_devices()) == 2
+    assert jax.device_count() == num_procs, jax.devices()
+    assert len(jax.local_devices()) == 1
 
     import numpy as np
 
@@ -47,7 +55,7 @@ def main():
     from dquartic_tpu.parallel import make_mesh
     from dquartic_tpu.train import Trainer
 
-    mesh = make_mesh(dp=2 * num_procs, devices=jax.devices())
+    mesh = make_mesh(dp=num_procs, devices=jax.devices())
     model = UNet1d(
         dim=4, channels=1, dim_mults=(1, 2), conditional=True,
         init_cond_channels=1, attn_cond_channels=1, downsample_dim=16,
@@ -58,7 +66,7 @@ def main():
     # Every process samples the SAME global batches (shared seed); the
     # trainer slices out this process's rows internally.
     rng = np.random.default_rng(0)
-    b, rt, mz = 2 * num_procs, 4, 16
+    b, rt, mz = num_procs, 4, 16
     batches = [
         {
             "ms2_1": rng.uniform(0, 1, (b, rt, mz)).astype(np.float32),

@@ -1,7 +1,7 @@
 """2-process multihost training on a local jax.distributed CPU cluster.
 
-Each process owns 2 virtual CPU devices (4 global) and runs the real
-``Trainer.train`` loop over a dp=4 mesh with per-process batch feeding
+Each process owns 1 virtual CPU device (dp=2 global) and runs the real
+``Trainer.train`` loop over a dp=2 mesh with per-process batch feeding
 (``global_batch_from_local``) — the pod-scale path the CLI uses when
 ``jax.process_count() > 1``.
 """
