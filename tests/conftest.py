@@ -17,7 +17,15 @@ import os
 if not os.environ.get("DQUARTIC_TESTS_ON_DEVICE"):
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # Backend opt level 0 skips XLA:CPU's expensive LLVM passes: measured
+    # 2.5x faster cold compiles (test_models.py 306 s -> 122 s on the
+    # 1-core bench host) and no execution-time regression at the suite's
+    # tiny shapes — the tests check numerics/semantics, not CPU codegen.
+    # TPU runs (DQUARTIC_TESTS_ON_DEVICE=1) keep full optimization.
+    if "xla_backend_optimization_level" not in flags:
+        flags = (flags + " --xla_backend_optimization_level=0").strip()
+    os.environ["XLA_FLAGS"] = flags
     os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
