@@ -12,6 +12,19 @@ entire U-Net levels stay in one layout with no relayouts and each block
 reads/writes its activation exactly once (vs ~6 HBM round trips + copies
 for the unfused op sequence).
 
+**Rows-stacked grid (round-3, second iteration).** The first kernel ran
+one (batch-row, n-block) grid cell per row with a (1, C, bn) block — at
+the net's C = 4..16 channels that is 4/16 of the sublanes of a single
+register tile and ~32 KB DMAs, and the trace showed the launches running
+at ~70-95 GB/s (vs the ~620 GB/s the int8 weight-stream kernel
+sustains). This version stacks R rows per grid cell so blocks are
+(R*C, bn) — sublane-dense, megabyte-scale DMAs, 10-30x fewer grid
+steps. Channel mixing uses precomputed block-diagonal weights
+(kron(I_R, W): one small MXU tile instead of R tiny dots), and the
+per-row RMSNorm becomes two indicator-matrix dots (group-sum + expand).
+Rows are padded up to G*R and sliced off outside; padded rows receive a
+zero cotangent, so every parameter gradient is unaffected.
+
 Matches the reference block structure at
 /root/reference/dquartic/model/unet1d.py:223-323 (Block / ResnetBlock)
 with the same FiLM placement (scale-shift on block1 only) and the
@@ -22,6 +35,8 @@ backward Pallas kernel (one launch per block, same halo scheme with a
 4-column x window / 2-column dy window) that produces dx and every
 weight/bias/gain/FiLM gradient in a single pass — only (x, dy, params)
 ever stream from HBM, mirroring the streamed linear-attention backward.
+Block-diagonal weight-gradient accumulators are reduced to the shared
+(C_out, C_in) gradient by a diagonal-block einsum outside the kernel.
 Gradient parity vs the XLA oracle is pinned in tests/test_fused_resnet.py.
 """
 
@@ -44,10 +59,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _rmsnorm_cols(h32: jnp.ndarray, g_col: jnp.ndarray, c: int) -> jnp.ndarray:
-    """f32 RMSNorm over the channel (sublane) axis of a (C, W) slab."""
-    norm = jnp.sqrt(jnp.sum(h32 * h32, axis=0, keepdims=True))
-    return h32 / jnp.maximum(norm, 1e-12) * g_col * (c**0.5)
+def _grouping(B: int, c_in: int, c_out: int, s_max: int):
+    """Split B rows into G groups of R rows so R*max(C) <= s_max sublanes.
+
+    R is chosen as ceil(B/G) so padding is minimal (e.g. B=34, C=8,
+    s_max=144 -> G=2, R=17: zero padding and 136 dense sublanes)."""
+    cmax = max(c_in, c_out)
+    r_max = max(1, s_max // cmax)
+    G = -(-B // r_max)
+    R = -(-B // G)
+    return G, R
 
 
 def _silu_grad(z: jnp.ndarray) -> jnp.ndarray:
@@ -58,9 +79,9 @@ def _silu_grad(z: jnp.ndarray) -> jnp.ndarray:
 def _conv3_cols(ws, src, width):
     """'same' conv3 as 3 shifted dots: out[:, j] = sum_k ws[k] @ src[:, j+k].
 
-    ``ws`` (3, C_out, C_src); ``src`` (C_src, width+2). Shifted operands
-    come from pltpu.roll so every dot input sits at lane offset 0 (the
-    wrapped tail lands beyond ``width`` and is sliced off)."""
+    ``ws`` (3, S_out, S_src) block-diagonal; ``src`` (S_src, width+2).
+    Shifted operands come from pltpu.roll so every dot input sits at lane
+    offset 0 (the wrapped tail lands beyond ``width`` and is sliced off)."""
     w_src = width + 2  # pltpu.roll needs shift >= 0: -k == w_src - k
     w32 = ws.astype(jnp.float32)
     acc = jax.lax.dot(w32[0], src[:, :width], preferred_element_type=jnp.float32)
@@ -75,11 +96,24 @@ def _conv3_cols(ws, src, width):
     return acc
 
 
+def _group_norm_den(h32, A):
+    """Per-row-group RMS denominator of a stacked (R*C, W) slab.
+
+    A (R, R*C) is the 0/1 group-sum indicator; returns (R, W)."""
+    sq = jax.lax.dot(A, h32 * h32, preferred_element_type=jnp.float32)
+    return jnp.maximum(jnp.sqrt(sq), 1e-12)
+
+
+def _expand(E, den):
+    """Broadcast per-group (R, W) values back to (R*C, W) rows (E = A^T)."""
+    return jax.lax.dot(E, den, preferred_element_type=jnp.float32)
+
+
 def _kernel_resnet_t(
-    x_l, x_c, x_r, w1, b1, g1, sc, sh, w2, b2, g2, wr, br, out,
-    *, block_n: int, c_in: int, c_out: int, film: bool, n_total: int,
+    x_l, x_c, x_r, w1, b1, g1, sc, sh, w2, b2, g2, wr, br, A, E, out,
+    *, block_n: int, c_out: int, film: bool, n_total: int,
 ):
-    """One (batch-row, n-block) grid cell of the fused ResnetBlock.
+    """One (row-group, n-block) grid cell of the fused ResnetBlock.
 
     Halo: conv3 twice needs 2 neighbor columns per side; the left/right
     neighbor *blocks* are passed as extra inputs (their DMA cost is the
@@ -90,11 +124,14 @@ def _kernel_resnet_t(
     nb = pl.num_programs(1)
     dtype = x_c.dtype
     bn = block_n
+    rs = c_out**0.5
+    Am = A[...]
+    Em = E[...]
 
     # All interior math runs in f32: HBM traffic stays in the compute
     # dtype (block specs), but Mosaic's lane rotate only exists for
     # 32-bit data, and f32 also sidesteps its bf16 transcendental gaps.
-    xc = x_c[0].astype(jnp.float32)  # (C_in, bn)
+    xc = x_c[0].astype(jnp.float32)  # (S_in, bn)
     # Halo columns, materialized at lane offset 0: Mosaic cannot
     # concatenate (or efficiently consume) lane-misaligned slices, so
     # rotate first and slice from the front.
@@ -108,12 +145,12 @@ def _kernel_resnet_t(
         jnp.zeros_like(xc[:, :2]),
         x_r[0][:, :2].astype(jnp.float32),
     )
-    xt = jnp.concatenate([left, xc, right], axis=1)  # (C_in, bn+4)
+    xt = jnp.concatenate([left, xc, right], axis=1)  # (S_in, bn+4)
 
-    # conv1 -> (C_out, bn+2): output col j is absolute position
+    # conv1 -> (S_out, bn+2): output col j is absolute position
     # ni*bn + j - 1; W[k] multiplies x[pos + k - 1] (flax 'same' conv3).
     h = _conv3_cols(w1[...], xt, bn + 2) + b1[...]
-    h = _rmsnorm_cols(h, g1[...], c_out)
+    h = h / _expand(Em, _group_norm_den(h, Am)) * g1[...] * rs
     if film:
         h = h * (sc[0] + 1.0) + sh[0]
     h = h * jax.nn.sigmoid(h)  # SiLU (f32)
@@ -123,13 +160,13 @@ def _kernel_resnet_t(
     pos = ni * bn - 1 + jax.lax.broadcasted_iota(jnp.int32, (1, bn + 2), 1)
     h = jnp.where((pos >= 0) & (pos < n_total), h, jnp.zeros_like(h))
 
-    # conv2 -> (C_out, bn): output col n needs h cols n, n+1, n+2
+    # conv2 -> (S_out, bn): output col n needs h cols n, n+1, n+2
     h2 = _conv3_cols(w2[...], h, bn) + b2[...]
-    h2 = _rmsnorm_cols(h2, g2[...], c_out)
+    h2 = h2 / _expand(Em, _group_norm_den(h2, Am)) * g2[...] * rs
     h2 = h2 * jax.nn.sigmoid(h2)
 
-    # residual 1x1 conv (identity matrix when C_in == C_out and no
-    # res_conv param exists — the dot cost is negligible at C <= 32)
+    # residual 1x1 conv (block-diag identity when C_in == C_out and no
+    # res_conv param exists — the dot cost is one tile pass per column)
     res = jax.lax.dot(
         wr[...].astype(jnp.float32), xc, preferred_element_type=jnp.float32
     )
@@ -138,94 +175,134 @@ def _kernel_resnet_t(
     out[0] = (h2 + res).astype(dtype)
 
 
-def _prep_params(dtype, C_out, B, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res):
-    """Reshape/transpose the flax-layout parameters into kernel layout."""
-    w1m = w1.transpose(0, 2, 1).astype(dtype)  # (3, C_out, C_in)
-    w2m = w2.transpose(0, 2, 1).astype(dtype)  # (3, C_out, C_out)
-    b1c = b1.reshape(C_out, 1).astype(jnp.float32)
-    b2c = b2.reshape(C_out, 1).astype(jnp.float32)
-    g1c = g1.reshape(C_out, 1).astype(jnp.float32)
-    g2c = g2.reshape(C_out, 1).astype(jnp.float32)
+def _prep_params(
+    dtype, C_out, Bp, G, R,
+    w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
+):
+    """Reshape/transpose flax-layout parameters into the rows-stacked
+    kernel layout: block-diagonal kron weights, tiled bias/gain columns,
+    group-sum indicator A (R, R*C_out) and its transpose E."""
+    C_in = w1.shape[1]
+    eye = jnp.eye(R, dtype=jnp.float32)
+    # (3, C_out, C_in) kernel layout, then block-diagonal over rows
+    w1m = w1.transpose(0, 2, 1).astype(jnp.float32)
+    w2m = w2.transpose(0, 2, 1).astype(jnp.float32)
+    w1b = jnp.einsum("rs,kcd->krcsd", eye, w1m).reshape(
+        3, R * C_out, R * C_in
+    ).astype(dtype)
+    w2b = jnp.einsum("rs,kcd->krcsd", eye, w2m).reshape(
+        3, R * C_out, R * C_out
+    ).astype(dtype)
+    b1c = jnp.tile(b1, R).reshape(R * C_out, 1).astype(jnp.float32)
+    b2c = jnp.tile(b2, R).reshape(R * C_out, 1).astype(jnp.float32)
+    g1c = jnp.tile(g1, R).reshape(R * C_out, 1).astype(jnp.float32)
+    g2c = jnp.tile(g2, R).reshape(R * C_out, 1).astype(jnp.float32)
+
+    # group-sum indicator: A[r, r*C_out + c] = 1
+    A = jnp.repeat(eye, C_out, axis=1)  # (R, R*C_out)
+    E = A.T  # (R*C_out, R)
 
     film = scale is not None
     if film:
-        # (B, C_out, 1): the per-batch-row FiLM column. The trailing
-        # length-1 dim keeps the (C_out, 1) block equal to the array's
-        # last two dims (Mosaic requires block == array dim or 8/128
-        # divisibility).
-        scT = scale.astype(jnp.float32)[:, :, None]
-        shT = shift.astype(jnp.float32)[:, :, None]
+        # (G, R*C_out, 1): the per-row FiLM column, rows stacked.
+        pad = ((0, Bp - scale.shape[0]), (0, 0))
+        scT = jnp.pad(scale.astype(jnp.float32), pad).reshape(G, R * C_out, 1)
+        shT = jnp.pad(shift.astype(jnp.float32), pad).reshape(G, R * C_out, 1)
     else:
-        scT = jnp.zeros((B, C_out, 1), jnp.float32)
-        shT = jnp.zeros((B, C_out, 1), jnp.float32)
+        scT = jnp.zeros((G, R * C_out, 1), jnp.float32)
+        shT = jnp.zeros((G, R * C_out, 1), jnp.float32)
 
     if w_res is not None:
-        wrm = w_res[0].T.astype(dtype)  # (C_out, C_in)
+        wrm = w_res[0].T.astype(jnp.float32)  # (C_out, C_in)
         brc = (
-            b_res.reshape(C_out, 1).astype(jnp.float32)
+            b_res.astype(jnp.float32)
             if b_res is not None
-            else jnp.zeros((C_out, 1), jnp.float32)
+            else jnp.zeros((C_out,), jnp.float32)
         )
     else:
-        C_in = w1.shape[1]
         if C_in != C_out:
             raise ValueError("identity residual requires C_in == C_out")
-        wrm = jnp.eye(C_out, dtype=dtype)
-        brc = jnp.zeros((C_out, 1), jnp.float32)
-    return w1m, b1c, g1c, scT, shT, w2m, b2c, g2c, wrm, brc, film
+        wrm = jnp.eye(C_out, dtype=jnp.float32)
+        brc = jnp.zeros((C_out,), jnp.float32)
+    wrb = jnp.einsum("rs,cd->rcsd", eye, wrm).reshape(
+        R * C_out, R * C_in
+    ).astype(dtype)
+    brb = jnp.tile(brc, R).reshape(R * C_out, 1)
+    return w1b, b1c, g1c, scT, shT, w2b, b2c, g2c, wrb, brb, A, E, film
+
+
+def _stack_rows(x, Bp, G, R, np_):
+    """(B, C, N) -> (G, R*C, Np): pad rows to G*R, pad N, merge (R, C)."""
+    B, C, N = x.shape
+    x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, np_ - N)))
+    return x.reshape(G, R * C, np_)
 
 
 def _forward(
-    block_n, interpret,
+    block_n, s_max, interpret,
     x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
 ):
     B, C_in, N = x_t.shape
     C_out = w1.shape[-1]
     dtype = x_t.dtype
 
+    G, R = _grouping(B, C_in, C_out, s_max)
+    Bp = G * R
     block_n = min(block_n, _round_up(N, 512))
     np_ = _round_up(max(N, block_n), block_n)
-    xp = jnp.pad(x_t, ((0, 0), (0, 0), (0, np_ - N)))
     nb = np_ // block_n
+    xp = _stack_rows(x_t, Bp, G, R, np_)
+    S_in, S_out = R * C_in, R * C_out
 
-    (w1m, b1c, g1c, scT, shT, w2m, b2c, g2c, wrm, brc, film) = _prep_params(
-        dtype, C_out, B, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res
+    (w1b, b1c, g1c, scT, shT, w2b, b2c, g2c, wrb, brb, A, E, film) = _prep_params(
+        dtype, C_out, Bp, G, R,
+        w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
     )
 
     kernel = functools.partial(
         _kernel_resnet_t,
-        block_n=block_n, c_in=C_in, c_out=C_out, film=film, n_total=N,
+        block_n=block_n, c_out=C_out, film=film, n_total=N,
     )
     clamp = lambda j: jnp.clip(j, 0, nb - 1)
     y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, C_out, np_), dtype),
-        grid=(B, nb),
+        out_shape=jax.ShapeDtypeStruct((G, S_out, np_), dtype),
+        grid=(G, nb),
         in_specs=[
-            _vmem_spec((1, C_in, block_n), lambda i, j: (i, 0, clamp(j - 1))),
-            _vmem_spec((1, C_in, block_n), lambda i, j: (i, 0, j)),
-            _vmem_spec((1, C_in, block_n), lambda i, j: (i, 0, clamp(j + 1))),
-            _vmem_spec((3, C_out, C_in), lambda i, j: (0, 0, 0)),
-            _vmem_spec((C_out, 1), lambda i, j: (0, 0)),
-            _vmem_spec((C_out, 1), lambda i, j: (0, 0)),
-            _vmem_spec((1, C_out, 1), lambda i, j: (i, 0, 0)),
-            _vmem_spec((1, C_out, 1), lambda i, j: (i, 0, 0)),
-            _vmem_spec((3, C_out, C_out), lambda i, j: (0, 0, 0)),
-            _vmem_spec((C_out, 1), lambda i, j: (0, 0)),
-            _vmem_spec((C_out, 1), lambda i, j: (0, 0)),
-            _vmem_spec((C_out, C_in), lambda i, j: (0, 0)),
-            _vmem_spec((C_out, 1), lambda i, j: (0, 0)),
+            _vmem_spec((1, S_in, block_n), lambda i, j: (i, 0, clamp(j - 1))),
+            _vmem_spec((1, S_in, block_n), lambda i, j: (i, 0, j)),
+            _vmem_spec((1, S_in, block_n), lambda i, j: (i, 0, clamp(j + 1))),
+            _vmem_spec((3, S_out, S_in), lambda i, j: (0, 0, 0)),
+            _vmem_spec((S_out, 1), lambda i, j: (0, 0)),
+            _vmem_spec((S_out, 1), lambda i, j: (0, 0)),
+            _vmem_spec((1, S_out, 1), lambda i, j: (i, 0, 0)),
+            _vmem_spec((1, S_out, 1), lambda i, j: (i, 0, 0)),
+            _vmem_spec((3, S_out, S_out), lambda i, j: (0, 0, 0)),
+            _vmem_spec((S_out, 1), lambda i, j: (0, 0)),
+            _vmem_spec((S_out, 1), lambda i, j: (0, 0)),
+            _vmem_spec((S_out, S_in), lambda i, j: (0, 0)),
+            _vmem_spec((S_out, 1), lambda i, j: (0, 0)),
+            _vmem_spec((R, S_out), lambda i, j: (0, 0)),
+            _vmem_spec((S_out, R), lambda i, j: (0, 0)),
         ],
-        out_specs=_vmem_spec((1, C_out, block_n), lambda i, j: (i, 0, j)),
+        out_specs=_vmem_spec((1, S_out, block_n), lambda i, j: (i, 0, j)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # The stacked (R*C, bn) f32 temporaries exceed the 16 MB
+            # scoped-vmem default at S=136 x bn=2048 (~20 MB peak);
+            # v5e VMEM is 128 MB, so raise the ceiling instead of
+            # shrinking the (deliberately large) DMA blocks.
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(xp, xp, xp, w1m, b1c, g1c, scT, shT, w2m, b2c, g2c, wrm, brc)
-    return y[:, :, :N]
+    )(xp, xp, xp, w1b, b1c, g1c, scT, shT, w2b, b2c, g2c, wrb, brb, A, E)
+    return y.reshape(Bp, C_out, np_)[:B, :, :N]
 
 
 # --------------------------------------------------------------------- #
 # Backward: one recompute-based Pallas pass.
 #
-# Per (batch-row, n-block) grid cell, the forward intermediates are
+# Per (row-group, n-block) grid cell, the forward intermediates are
 # recomputed from a 4-column-halo x window (exactly the receptive field
 # two transposed conv3s need):
 #
@@ -241,14 +318,16 @@ def _forward(
 # only, so each position contributes exactly once globally. The grid is
 # sequential on TPU, so the reductions accumulate into revisited output
 # blocks (constant index maps), the standard Pallas reduction pattern.
+# Weight gradients accumulate in block-diagonal (S_out, S_in) form; the
+# diagonal blocks are summed into (C_out, C_in) outside the kernel.
 # --------------------------------------------------------------------- #
 
 
 def _kernel_resnet_bwd_t(
     x_l, x_c, x_r, dy_l, dy_c, dy_r,
-    w1, b1, g1, sc, sh, w2, b2, g2, wr,
+    w1, b1, g1, sc, sh, w2, b2, g2, wr, A, E,
     dx, dw1, db1, dg1, dsc, dsh, dw2, db2, dg2, dwr, dbr,
-    *, block_n: int, c_in: int, c_out: int, film: bool, has_res: bool,
+    *, block_n: int, c_out: int, film: bool, has_res: bool,
     n_total: int,
 ):
     i = pl.program_id(0)
@@ -256,6 +335,8 @@ def _kernel_resnet_bwd_t(
     nb = pl.num_programs(1)
     bn = block_n
     rs = c_out**0.5  # RMSNorm sqrt(C) factor (both norms act on C_out)
+    Am = A[...]
+    Em = E[...]
 
     @pl.when((i == 0) & (ni == 0))
     def _init_global():
@@ -274,7 +355,7 @@ def _kernel_resnet_bwd_t(
         dsh[...] = jnp.zeros_like(dsh)
 
     # ---- windows ----------------------------------------------------- #
-    xc = x_c[0].astype(jnp.float32)  # (C_in, bn)
+    xc = x_c[0].astype(jnp.float32)  # (S_in, bn)
     xl4 = jnp.where(
         ni == 0,
         jnp.zeros_like(xc[:, :4]),
@@ -285,9 +366,9 @@ def _kernel_resnet_bwd_t(
         jnp.zeros_like(xc[:, :4]),
         x_r[0][:, :4].astype(jnp.float32),
     )
-    xw = jnp.concatenate([xl4, xc, xr4], axis=1)  # (C_in, bn+8), base -4
+    xw = jnp.concatenate([xl4, xc, xr4], axis=1)  # (S_in, bn+8), base -4
 
-    dyc = dy_c[0].astype(jnp.float32)  # (C_out, bn), zero beyond N (padded)
+    dyc = dy_c[0].astype(jnp.float32)  # (S_out, bn), zero beyond N (padded)
     dyl2 = jnp.where(
         ni == 0,
         jnp.zeros_like(dyc[:, :2]),
@@ -298,7 +379,7 @@ def _kernel_resnet_bwd_t(
         jnp.zeros_like(dyc[:, :2]),
         dy_r[0][:, :2].astype(jnp.float32),
     )
-    dyw = jnp.concatenate([dyl2, dyc, dyr2], axis=1)  # (C_out, bn+4), base -2
+    dyw = jnp.concatenate([dyl2, dyc, dyr2], axis=1)  # (S_out, bn+4), base -2
 
     def shl(a, k, width):
         """Columns [k, k+width) of ``a``, landed at lane offset 0."""
@@ -306,13 +387,15 @@ def _kernel_resnet_bwd_t(
             return a[:, :width]
         return pltpu.roll(a, shift=a.shape[1] - k, axis=1)[:, :width]
 
+    def gden(h32):
+        return _group_norm_den(h32, Am)
+
     # ---- forward recompute ------------------------------------------- #
     h1_pre = _conv3_cols(w1[...], xw, bn + 6) + b1[...]  # base -3
-    n1 = jnp.maximum(
-        jnp.sqrt(jnp.sum(h1_pre * h1_pre, axis=0, keepdims=True)), 1e-12
-    )
+    n1 = gden(h1_pre)  # (R, bn+6)
+    n1e = _expand(Em, n1)
     g1c = g1[...]
-    h1n = h1_pre / n1 * g1c * rs
+    h1n = h1_pre / n1e * g1c * rs
     if film:
         f = h1n * (sc[0] + 1.0) + sh[0]
     else:
@@ -323,20 +406,19 @@ def _kernel_resnet_bwd_t(
     a1 = jnp.where(in1, a1, jnp.zeros_like(a1))
 
     h2_pre = _conv3_cols(w2[...], a1, bn + 4) + b2[...]  # base -2
-    n2 = jnp.maximum(
-        jnp.sqrt(jnp.sum(h2_pre * h2_pre, axis=0, keepdims=True)), 1e-12
-    )
+    n2 = gden(h2_pre)
+    n2e = _expand(Em, n2)
     g2c = g2[...]
-    h2n = h2_pre / n2 * g2c * rs
+    h2n = h2_pre / n2e * g2c * rs
 
     # ---- backward through block2 ------------------------------------- #
-    dh2n = dyw * _silu_grad(h2n)  # (C_out, bn+4)
+    dh2n = dyw * _silu_grad(h2n)  # (S_out, bn+4)
     u2 = dh2n * g2c * rs
-    xdu2 = jnp.sum(h2_pre * u2, axis=0, keepdims=True)
-    dh2_pre = (u2 - h2_pre * (xdu2 / (n2 * n2))) / n2  # base -2
+    xdu2 = _expand(Em, jax.lax.dot(Am, h2_pre * u2, preferred_element_type=jnp.float32))
+    dh2_pre = (u2 - h2_pre * (xdu2 / (n2e * n2e))) / n2e  # base -2
 
     def dotT(a, b):
-        """a^T @ b for a (C_a, C_b)-ish sublane operands."""
+        """a^T @ b for (S_a, S_b)-ish sublane operands."""
         return jax.lax.dot_general(
             a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -357,9 +439,11 @@ def _kernel_resnet_bwd_t(
     else:
         dh1n = dA
     h1_pre_w = shl(h1_pre, 2, bn + 2)
-    n1_w = shl(n1, 2, bn + 2)
+    n1_w = shl(n1e, 2, bn + 2)
     u1 = dh1n * g1c * rs
-    xdu1 = jnp.sum(h1_pre_w * u1, axis=0, keepdims=True)
+    xdu1 = _expand(
+        Em, jax.lax.dot(Am, h1_pre_w * u1, preferred_element_type=jnp.float32)
+    )
     dh1_pre = (u1 - h1_pre_w * (xdu1 / (n1_w * n1_w))) / n1_w  # base -1
 
     # ---- dx ------------------------------------------------------------ #
@@ -376,7 +460,7 @@ def _kernel_resnet_bwd_t(
 
     dh1_own = shl(dh1_pre, 1, bn)  # positions [j*bn, j*bn+bn)
     db1[...] += colsum(dh1_own)
-    dg1[...] += colsum(shl(dh1n, 1, bn) * shl(h1_pre, 3, bn) / shl(n1, 3, bn)) * rs
+    dg1[...] += colsum(shl(dh1n, 1, bn) * shl(h1_pre, 3, bn) / shl(n1e, 3, bn)) * rs
     if film:
         dA_own = shl(dA, 1, bn)
         dsc[0] += colsum(dA_own * shl(h1n, 3, bn))
@@ -390,7 +474,7 @@ def _kernel_resnet_bwd_t(
 
     dh2_own = shl(dh2_pre, 2, bn)
     db2[...] += colsum(dh2_own)
-    dg2[...] += colsum(shl(dh2n, 2, bn) * shl(h2_pre, 2, bn) / shl(n2, 2, bn)) * rs
+    dg2[...] += colsum(shl(dh2n, 2, bn) * shl(h2_pre, 2, bn) / shl(n2e, 2, bn)) * rs
     for k in range(3):
         # a1 positions [j*bn + k - 1, ...): a1 base -3 -> cols k+2
         dw2[k] += jax.lax.dot_general(
@@ -406,29 +490,40 @@ def _kernel_resnet_bwd_t(
         dbr[...] += colsum(dyc)
 
 
+def _diag_blocks(m, R, C_out, C_in):
+    """Sum the R diagonal (C_out, C_in) blocks of a stacked gradient."""
+    if m.ndim == 3:  # (3, S_out, S_in)
+        return jnp.einsum("krcrd->kcd", m.reshape(3, R, C_out, R, C_in))
+    return jnp.einsum("rcrd->cd", m.reshape(R, C_out, R, C_in))
+
+
 def _backward(
-    block_n, interpret,
+    block_n, s_max, interpret,
     x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res, dy,
 ):
     B, C_in, N = x_t.shape
     C_out = w1.shape[-1]
     dtype = x_t.dtype
 
-    block_n = min(block_n, _round_up(N, 512))
+    G, R = _grouping(B, C_in, C_out, s_max)
+    Bp = G * R
+    # The backward holds ~2x the forward's live slabs; halve the block.
+    block_n = min(max(block_n // 2, 256), _round_up(N, 256))
     np_ = _round_up(max(N, block_n), block_n)
-    pad = ((0, 0), (0, 0), (0, np_ - N))
-    xp = jnp.pad(x_t, pad)
-    dyp = jnp.pad(dy.astype(dtype), pad)
     nb = np_ // block_n
+    xp = _stack_rows(x_t, Bp, G, R, np_)
+    dyp = _stack_rows(dy.astype(dtype), Bp, G, R, np_)
+    S_in, S_out = R * C_in, R * C_out
 
-    (w1m, b1c, g1c, scT, shT, w2m, b2c, g2c, wrm, _brc, film) = _prep_params(
-        dtype, C_out, B, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res
+    (w1b, b1c, g1c, scT, shT, w2b, b2c, g2c, wrb, _brb, A, E, film) = _prep_params(
+        dtype, C_out, Bp, G, R,
+        w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
     )
     has_res = w_res is not None
 
     kernel = functools.partial(
         _kernel_resnet_bwd_t,
-        block_n=block_n, c_in=C_in, c_out=C_out, film=film, has_res=has_res,
+        block_n=block_n, c_out=C_out, film=film, has_res=has_res,
         n_total=N,
     )
     clamp = lambda j: jnp.clip(j, 0, nb - 1)
@@ -436,90 +531,101 @@ def _backward(
     outs = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((B, C_in, np_), dtype),   # dx
-            jax.ShapeDtypeStruct((3, C_out, C_in), f32),   # dw1 (kernel layout)
-            jax.ShapeDtypeStruct((C_out, 1), f32),         # db1
-            jax.ShapeDtypeStruct((C_out, 1), f32),         # dg1
-            jax.ShapeDtypeStruct((B, C_out, 1), f32),      # dscale
-            jax.ShapeDtypeStruct((B, C_out, 1), f32),      # dshift
-            jax.ShapeDtypeStruct((3, C_out, C_out), f32),  # dw2
-            jax.ShapeDtypeStruct((C_out, 1), f32),         # db2
-            jax.ShapeDtypeStruct((C_out, 1), f32),         # dg2
-            jax.ShapeDtypeStruct((C_out, C_in), f32),      # dw_res
-            jax.ShapeDtypeStruct((C_out, 1), f32),         # db_res
+            jax.ShapeDtypeStruct((G, S_in, np_), dtype),   # dx
+            jax.ShapeDtypeStruct((3, S_out, S_in), f32),   # dw1 (block-diag)
+            jax.ShapeDtypeStruct((S_out, 1), f32),         # db1
+            jax.ShapeDtypeStruct((S_out, 1), f32),         # dg1
+            jax.ShapeDtypeStruct((G, S_out, 1), f32),      # dscale
+            jax.ShapeDtypeStruct((G, S_out, 1), f32),      # dshift
+            jax.ShapeDtypeStruct((3, S_out, S_out), f32),  # dw2
+            jax.ShapeDtypeStruct((S_out, 1), f32),         # db2
+            jax.ShapeDtypeStruct((S_out, 1), f32),         # dg2
+            jax.ShapeDtypeStruct((S_out, S_in), f32),      # dw_res
+            jax.ShapeDtypeStruct((S_out, 1), f32),         # db_res
         ],
-        grid=(B, nb),
+        grid=(G, nb),
         in_specs=[
-            _vmem_spec((1, C_in, block_n), lambda i, j: (i, 0, clamp(j - 1))),
-            _vmem_spec((1, C_in, block_n), lambda i, j: (i, 0, j)),
-            _vmem_spec((1, C_in, block_n), lambda i, j: (i, 0, clamp(j + 1))),
-            _vmem_spec((1, C_out, block_n), lambda i, j: (i, 0, clamp(j - 1))),
-            _vmem_spec((1, C_out, block_n), lambda i, j: (i, 0, j)),
-            _vmem_spec((1, C_out, block_n), lambda i, j: (i, 0, clamp(j + 1))),
-            _vmem_spec((3, C_out, C_in), lambda i, j: (0, 0, 0)),
-            _vmem_spec((C_out, 1), lambda i, j: (0, 0)),
-            _vmem_spec((C_out, 1), lambda i, j: (0, 0)),
-            _vmem_spec((1, C_out, 1), lambda i, j: (i, 0, 0)),
-            _vmem_spec((1, C_out, 1), lambda i, j: (i, 0, 0)),
-            _vmem_spec((3, C_out, C_out), lambda i, j: (0, 0, 0)),
-            _vmem_spec((C_out, 1), lambda i, j: (0, 0)),
-            _vmem_spec((C_out, 1), lambda i, j: (0, 0)),
-            _vmem_spec((C_out, C_in), lambda i, j: (0, 0)),
+            _vmem_spec((1, S_in, block_n), lambda i, j: (i, 0, clamp(j - 1))),
+            _vmem_spec((1, S_in, block_n), lambda i, j: (i, 0, j)),
+            _vmem_spec((1, S_in, block_n), lambda i, j: (i, 0, clamp(j + 1))),
+            _vmem_spec((1, S_out, block_n), lambda i, j: (i, 0, clamp(j - 1))),
+            _vmem_spec((1, S_out, block_n), lambda i, j: (i, 0, j)),
+            _vmem_spec((1, S_out, block_n), lambda i, j: (i, 0, clamp(j + 1))),
+            _vmem_spec((3, S_out, S_in), lambda i, j: (0, 0, 0)),
+            _vmem_spec((S_out, 1), lambda i, j: (0, 0)),
+            _vmem_spec((S_out, 1), lambda i, j: (0, 0)),
+            _vmem_spec((1, S_out, 1), lambda i, j: (i, 0, 0)),
+            _vmem_spec((1, S_out, 1), lambda i, j: (i, 0, 0)),
+            _vmem_spec((3, S_out, S_out), lambda i, j: (0, 0, 0)),
+            _vmem_spec((S_out, 1), lambda i, j: (0, 0)),
+            _vmem_spec((S_out, 1), lambda i, j: (0, 0)),
+            _vmem_spec((S_out, S_in), lambda i, j: (0, 0)),
+            _vmem_spec((R, S_out), lambda i, j: (0, 0)),
+            _vmem_spec((S_out, R), lambda i, j: (0, 0)),
         ],
         out_specs=[
-            _vmem_spec((1, C_in, block_n), lambda i, j: (i, 0, j)),
-            _vmem_spec((3, C_out, C_in), lambda i, j: (0, 0, 0)),
-            _vmem_spec((C_out, 1), lambda i, j: (0, 0)),
-            _vmem_spec((C_out, 1), lambda i, j: (0, 0)),
-            _vmem_spec((1, C_out, 1), lambda i, j: (i, 0, 0)),
-            _vmem_spec((1, C_out, 1), lambda i, j: (i, 0, 0)),
-            _vmem_spec((3, C_out, C_out), lambda i, j: (0, 0, 0)),
-            _vmem_spec((C_out, 1), lambda i, j: (0, 0)),
-            _vmem_spec((C_out, 1), lambda i, j: (0, 0)),
-            _vmem_spec((C_out, C_in), lambda i, j: (0, 0)),
-            _vmem_spec((C_out, 1), lambda i, j: (0, 0)),
+            _vmem_spec((1, S_in, block_n), lambda i, j: (i, 0, j)),
+            _vmem_spec((3, S_out, S_in), lambda i, j: (0, 0, 0)),
+            _vmem_spec((S_out, 1), lambda i, j: (0, 0)),
+            _vmem_spec((S_out, 1), lambda i, j: (0, 0)),
+            _vmem_spec((1, S_out, 1), lambda i, j: (i, 0, 0)),
+            _vmem_spec((1, S_out, 1), lambda i, j: (i, 0, 0)),
+            _vmem_spec((3, S_out, S_out), lambda i, j: (0, 0, 0)),
+            _vmem_spec((S_out, 1), lambda i, j: (0, 0)),
+            _vmem_spec((S_out, 1), lambda i, j: (0, 0)),
+            _vmem_spec((S_out, S_in), lambda i, j: (0, 0)),
+            _vmem_spec((S_out, 1), lambda i, j: (0, 0)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(xp, xp, xp, dyp, dyp, dyp, w1m, b1c, g1c, scT, shT, w2m, b2c, g2c, wrm)
+    )(xp, xp, xp, dyp, dyp, dyp, w1b, b1c, g1c, scT, shT, w2b, b2c, g2c, wrb, A, E)
 
     (dxp, dw1m, db1c, dg1c, dscT, dshT, dw2m, db2c, dg2c, dwrm, dbrc) = outs
 
-    dx = dxp[:, :, :N].astype(x_t.dtype)
-    dw1 = dw1m.transpose(0, 2, 1).astype(w1.dtype)
-    dw2 = dw2m.transpose(0, 2, 1).astype(w2.dtype)
-    db1 = db1c.reshape(C_out).astype(b1.dtype)
-    db2 = db2c.reshape(C_out).astype(b2.dtype)
-    dg1 = dg1c.reshape(C_out).astype(g1.dtype)
-    dg2 = dg2c.reshape(C_out).astype(g2.dtype)
-    dscale = dscT[:, :, 0].astype(scale.dtype) if film else None
-    dshift = dshT[:, :, 0].astype(shift.dtype) if film else None
+    dx = dxp.reshape(Bp, C_in, np_)[:B, :, :N].astype(x_t.dtype)
+    dw1 = _diag_blocks(dw1m, R, C_out, C_in).transpose(0, 2, 1).astype(w1.dtype)
+    dw2 = _diag_blocks(dw2m, R, C_out, C_out).transpose(0, 2, 1).astype(w2.dtype)
+    db1 = db1c.reshape(R, C_out).sum(0).astype(b1.dtype)
+    db2 = db2c.reshape(R, C_out).sum(0).astype(b2.dtype)
+    dg1 = dg1c.reshape(R, C_out).sum(0).astype(g1.dtype)
+    dg2 = dg2c.reshape(R, C_out).sum(0).astype(g2.dtype)
+    dscale = (
+        dscT.reshape(Bp, C_out)[:B].astype(scale.dtype) if film else None
+    )
+    dshift = (
+        dshT.reshape(Bp, C_out)[:B].astype(shift.dtype) if film else None
+    )
     if has_res:
-        dw_res = dwrm.T[None].astype(w_res.dtype)
+        dw_res = _diag_blocks(dwrm, R, C_out, C_in).T[None].astype(w_res.dtype)
         db_res = (
-            dbrc.reshape(C_out).astype(b_res.dtype) if b_res is not None else None
+            dbrc.reshape(R, C_out).sum(0).astype(b_res.dtype)
+            if b_res is not None
+            else None
         )
     else:
         dw_res = db_res = None
     return (dx, dw1, db1, dg1, dscale, dshift, dw2, db2, dg2, dw_res, db_res)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _fused_resnet(
-    block_n, interpret,
+    block_n, s_max, interpret,
     x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
 ):
     return _forward(
-        block_n, interpret,
+        block_n, s_max, interpret,
         x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
     )
 
 
 def _fused_resnet_fwd(
-    block_n, interpret,
+    block_n, s_max, interpret,
     x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
 ):
     y = _forward(
-        block_n, interpret,
+        block_n, s_max, interpret,
         x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
     )
     # Recompute-based backward: only the primal inputs are saved — the
@@ -528,10 +634,10 @@ def _fused_resnet_fwd(
     return y, (x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res)
 
 
-def _fused_resnet_bwd(block_n, interpret, res, dy):
+def _fused_resnet_bwd(block_n, s_max, interpret, res, dy):
     (x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res) = res
     return _backward(
-        block_n, interpret,
+        block_n, s_max, interpret,
         x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res, dy,
     )
 
@@ -563,12 +669,12 @@ def _dp_specs(axis, row_flags):
 _ROW_IN = (True, False, False, False, True, True, False, False, False, False, False)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _fused_resnet_dp(
-    block_n, interpret, axis,
+    block_n, s_max, interpret, axis,
     x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
 ):
-    fn = lambda *a: _fused_resnet(block_n, interpret, *a)  # noqa: E731
+    fn = lambda *a: _fused_resnet(block_n, s_max, interpret, *a)  # noqa: E731
     return jax.shard_map(
         fn,
         in_specs=_dp_specs(axis, _ROW_IN),
@@ -579,20 +685,20 @@ def _fused_resnet_dp(
 
 
 def _fused_resnet_dp_fwd(
-    block_n, interpret, axis,
+    block_n, s_max, interpret, axis,
     x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
 ):
     y = _fused_resnet_dp(
-        block_n, interpret, axis,
+        block_n, s_max, interpret, axis,
         x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
     )
     return y, (x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res)
 
 
-def _fused_resnet_dp_bwd(block_n, interpret, axis, res, dy):
+def _fused_resnet_dp_bwd(block_n, s_max, interpret, axis, res, dy):
     def body(x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res, dy):
         grads = _backward(
-            block_n, interpret,
+            block_n, s_max, interpret,
             x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res, dy,
         )
         ps = lambda t: None if t is None else jax.lax.psum(t, axis)  # noqa: E731
@@ -625,7 +731,8 @@ def fused_resnet_block_t(
     w_res: Optional[jnp.ndarray],
     b_res: Optional[jnp.ndarray],
     *,
-    block_n: int = 4096,
+    block_n: int = 2048,
+    group_sublanes: int = 144,
     interpret: Optional[bool] = None,
     dp_axis: Optional[str] = None,
 ) -> jnp.ndarray:
@@ -640,6 +747,9 @@ def fused_resnet_block_t(
         or both None for unconditioned blocks.
       w_res/b_res: (1, C_in, C_out) 1x1 residual conv (+ bias), or None
         when C_in == C_out (identity residual).
+      block_n: lane (m/z) block width; the backward uses block_n // 2.
+      group_sublanes: target sublane count per grid cell — rows are
+        stacked R = ~group_sublanes/C per cell for dense DMAs.
 
     Returns (B, C_out, N) in ``x_t.dtype``. Under ``jax.grad`` the
     recompute-based backward Pallas kernel produces every gradient in one
@@ -655,11 +765,11 @@ def fused_resnet_block_t(
         raise ValueError("scale and shift must both be provided or both None")
     if dp_axis is not None:
         return _fused_resnet_dp(
-            block_n, bool(interpret), dp_axis,
+            block_n, group_sublanes, bool(interpret), dp_axis,
             x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
         )
     return _fused_resnet(
-        block_n, bool(interpret),
+        block_n, group_sublanes, bool(interpret),
         x_t, w1, b1, g1, scale, shift, w2, b2, g2, w_res, b_res,
     )
 

@@ -328,10 +328,13 @@ def test_dp_sp_tp_mesh_with_activation_sharding(tmp_path):
 
 def test_dp_kernel_path_matches_single_device(monkeypatch):
     """Pure-dp meshes keep the Pallas fast path: with kernel_dp_axis the
-    kernel call sites run shard_map row-sharded variants — forward is
-    bitwise single-device, grads match at f32-reduction tolerance, and
-    the compiled programs contain NO all-gather (a bare pallas_call under
-    jit-SPMD is replicated via all-gathers; measured 4 on a dp=4 mesh)."""
+    kernel call sites run shard_map row-sharded variants — forward
+    matches single-device at f32 rounding tolerance (the rows-stacked
+    fused-resnet kernel groups rows by *local* row count, so grid tiling
+    differs across shardings), grads match at f32-reduction tolerance,
+    and the compiled programs contain NO all-gather (a bare pallas_call
+    under jit-SPMD is replicated via all-gathers; measured 4 on a dp=4
+    mesh)."""
     import re
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -361,7 +364,9 @@ def test_dp_kernel_path_matches_single_device(monkeypatch):
         xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
         fwd = jax.jit(model_dp.apply)
         out_dp = fwd(params, xs, t, xs, ms1)
-        assert float(jnp.abs(out_dp - out_ref).max()) == 0.0
+        np.testing.assert_allclose(
+            np.asarray(out_dp), np.asarray(out_ref), rtol=1e-5, atol=1e-5
+        )
         hlo_f = fwd.lower(params, xs, t, xs, ms1).compile().as_text()
         assert not re.findall(r"all-gather", hlo_f)
 
@@ -370,9 +375,11 @@ def test_dp_kernel_path_matches_single_device(monkeypatch):
         for a, bb in zip(
             jax.tree_util.tree_leaves(g_dp), jax.tree_util.tree_leaves(g_ref)
         ):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(bb), rtol=2e-4, atol=1e-5
-            )
+            a, bb = np.asarray(a), np.asarray(bb)
+            # Reduction-order noise from the differing grid tiling is
+            # absolute at the scale of the leaf, not of each element.
+            scale = max(float(np.abs(bb).max()), 1.0)
+            np.testing.assert_allclose(a, bb, rtol=2e-3, atol=5e-5 * scale)
         hlo_g = gfn.lower(params, xs).compile().as_text()
         assert not re.findall(r"all-gather", hlo_g)
 
