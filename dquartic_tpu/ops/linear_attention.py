@@ -326,7 +326,7 @@ def _prenorm(x, gpre, channels):
 
 def _kernel_ab_t(
     x_ref, wq_ref, wk_ref, wv_ref, woutT_ref, bout_ref, g_ref, gpre_ref, o_ref,
-    m_ref, s_ref, acc_ref,
+    m_ref, s_ref, acc_ref, cw_ref,
     *, block_n: int, seq_len: int, heads: int, dim_head: int, channels: int,
     prenorm: bool = False, residual: bool = False,
 ):
@@ -393,7 +393,18 @@ def _kernel_ab_t(
         @pl.when(j == num_blocks - 1)
         def _():
             mask = _head_mask(heads, dim_head)
-            acc_ref[...] = acc_ref[...] * mask / jnp.maximum(s_ref[...], 1e-30)
+            ctx = acc_ref[...] * mask / jnp.maximum(s_ref[...], 1e-30)
+            # Fold w_out into the context: M[c, d] = sum_e woutT[c, e] ctx[d, e].
+            # Phase 1 then needs ONE (C, H) @ (H, bn) dot instead of the
+            # (H, H) @ (H, bn) context dot followed by the (C, H) output
+            # projection — at C <= 16 that removes 1 of every 6 MXU tile
+            # passes per block (the 'out' dot costs the same H/128 * bn/128
+            # passes as the whole context accumulation).
+            cw_ref[...] = jax.lax.dot_general(
+                woutT_ref[...].astype(jnp.float32), ctx,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(phase == 1)
     def _():
@@ -411,12 +422,8 @@ def _kernel_ab_t(
             ssum = jnp.sum(slab, axis=0, keepdims=True)  # (1, block_n)
             slabs.append(slab / jnp.maximum(ssum, 1e-30))
         qn = jnp.concatenate(slabs, axis=0) * (dim_head**-0.5)
-        # out[e, n] = sum_d ctx[d, e] qn[d, n]
-        out = jax.lax.dot_general(
-            acc_ref[...].astype(cd), qn.astype(cd), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (H, block_n)
-        y = jnp.dot(woutT_ref[...].astype(jnp.float32), out,
+        # y[c, n] = sum_d M[c, d] qn[d, n] with the folded M = woutT ctx^T
+        y = jnp.dot(cw_ref[...].astype(cd), qn.astype(cd),
                     preferred_element_type=jnp.float32)  # (C, block_n)
         y = y + bout_ref[...]
         norm = jnp.sqrt(jnp.sum(jnp.square(y), axis=0, keepdims=True))
@@ -478,6 +485,7 @@ def _fused_forward_single_t(
             _scratch_vmem((H, 1), jnp.float32),
             _scratch_vmem((H, 1), jnp.float32),
             _scratch_vmem((H, H), jnp.float32),
+            _scratch_vmem((C, H), jnp.float32),
         ],
         interpret=interpret,
     )(xt, wq, wk, wv, woutT, b2, g2, gp2)
