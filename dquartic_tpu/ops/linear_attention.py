@@ -22,6 +22,15 @@ y. The transposed variant also has a hand-written streamed backward
 exists in HBM in either direction. ``DQUARTIC_LINATTN_BWD=reference``
 falls back to differentiating the jnp reference end to end.
 
+Because the MXU consumes operands in 128-wide tiles, every (H, bn) or
+(C, bn) streaming dot costs the same ceil(H/128) * bn/128 tile passes at
+the net's C <= 16 — so the kernels' cost is the *count* of streaming dots,
+not their FLOPs. All small-C contractions are therefore algebraically
+folded into per-row (H, C)-sized accumulators: the forward runs 4
+streaming dots per block-pair (naive: 6), the backward 13 (naive: 23);
+v, o and do are never materialized, and dwv/dwo/dctx are recovered from
+the tiny accumulators outside the stream.
+
 Weight layout matches the flax module: w_qkv (C, 3H) with q|k|v on the
 last axis and heads channel-major inside each H block; w_out (H, C).
 """
@@ -337,9 +346,15 @@ def _kernel_ab_t(
     in-model — the surrounding net carries C-minor activations).
 
     x: (B, C, N); weights transposed: wq/wk/wv (H, C), woutT (C, H).
-    Phase 0 accumulates the per-batch (H_d, H_e) context with an online
-    softmax over N; phase 1 emits y = RMSNorm(w_out @ (ctx^T @ softmax_h(q)))
-    block by block. ctx lives in VMEM scratch between phases.
+    Phase 0 accumulates A = sum_n softmax_N(k)[d, n] x[c, n] (H, C) with an
+    online softmax over N — the v projection is algebraically folded out of
+    the streaming loop (ctx = A wv^T) and w_out is folded into the context
+    at the phase boundary (M = woutT ctx^T, VMEM scratch). Phase 1 emits
+    y = RMSNorm(M @ softmax_h(q)) with a single streaming dot per block.
+    Per block-pair the kernel runs 4 MXU streaming dots (k, A, q, y)
+    instead of the naive 6 (k, v, ctx, q, out, w_out) — each costs the
+    same ceil(H/128) * bn/128 tile passes at C <= 16, so this is a 1.5x
+    MXU-pass reduction.
 
     With ``prenorm`` the tile is pre-RMSNormed in VMEM (gain gpre_ref) and
     with ``residual`` the RAW x is added to the output — fusing the
@@ -371,29 +386,38 @@ def _kernel_ab_t(
     @pl.when(phase == 0)
     def _():
         k = jnp.dot(wk_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
-        v = jnp.dot(wv_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
         k = jnp.where(valid, k, _NEG_INF)
-        v = jnp.where(valid, v, 0.0)
 
-        m_old, s_old, acc_old = m_ref[...], s_ref[...], acc_ref[...]  # (H,1),(H,1),(H,H)
+        m_old, s_old, acc_old = m_ref[...], s_ref[...], acc_ref[...]  # (H,1),(H,1),(H,C)
         m_new = jnp.maximum(m_old, jnp.max(k, axis=1, keepdims=True))
         alpha = jnp.exp(m_old - m_new)  # (H, 1), per row d
         p = jnp.exp(k - m_new)  # (H, block_n); padded cols -> 0
         s_new = s_old * alpha + jnp.sum(p, axis=1, keepdims=True)
-        # c[d, e] = sum_n p[d, n] v[e, n]
-        c = jax.lax.dot_general(
-            p.astype(cd), v.astype(cd), (((1,), (1,)), ((), ())),
+        # The v projection is folded out of the streaming loop entirely:
+        # ctx[d, e] = sum_n p[d, n] (wv x)[e, n] = sum_c A[d, c] wv[e, c]
+        # with A[d, c] = sum_n p[d, n] x[c, n]. Accumulating A (H, C)
+        # instead of ctx (H, H) drops the per-block v dot — at C <= 16 the
+        # A-update costs the same bn/128 passes the ctx dot did, so
+        # phase 0 runs 2 streaming dots instead of 3. (x's padded columns
+        # are zero, and p is zero there anyway.)
+        a = jax.lax.dot_general(
+            p.astype(cd), x.astype(cd), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # (H, C)
         m_ref[...] = m_new
         s_ref[...] = s_new
-        acc_ref[...] = acc_old * alpha + c
+        acc_ref[...] = acc_old * alpha + a
         o_ref[0] = jnp.zeros_like(o_ref[0])
 
         @pl.when(j == num_blocks - 1)
         def _():
             mask = _head_mask(heads, dim_head)
-            ctx = acc_ref[...] * mask / jnp.maximum(s_ref[...], 1e-30)
+            ctx = jax.lax.dot_general(
+                acc_ref[...], wv_ref[...].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (H, H), one tile pass per row
+            ctx = ctx * mask / jnp.maximum(s_ref[...], 1e-30)
             # Fold w_out into the context: M[c, d] = sum_e woutT[c, e] ctx[d, e].
             # Phase 1 then needs ONE (C, H) @ (H, bn) dot instead of the
             # (H, H) @ (H, bn) context dot followed by the (C, H) output
@@ -484,7 +508,7 @@ def _fused_forward_single_t(
         scratch_shapes=[
             _scratch_vmem((H, 1), jnp.float32),
             _scratch_vmem((H, 1), jnp.float32),
-            _scratch_vmem((H, H), jnp.float32),
+            _scratch_vmem((H, C), jnp.float32),
             _scratch_vmem((C, H), jnp.float32),
         ],
         interpret=interpret,
@@ -534,13 +558,18 @@ def _slab_softmax(q, heads, dim_head, scale):
 def _kernel_bwd_a(
     x_ref, dy_ref, wq_ref, wk_ref, wv_ref, woutT_ref, bout_ref, g_ref, gpre_ref,
     m_out, s_out, dctx_out, dxq_ref, dwq_out, dwo_out, db_out, dg_out,
-    m_ref, s_ref, acc_ref, dctx_ref, dwq_ref, dwo_ref, db_ref, dg_ref,
+    m_ref, s_ref, a_ref, ctx_ref, mw_ref, n2_ref, z_ref, dwq_ref,
+    dctx_ref, dwo_ref, db_ref, dg_ref,
     *, block_n: int, seq_len: int, heads: int, dim_head: int, channels: int,
     prenorm: bool = False,
 ):
-    """Phase 0: fwd context recompute (m, S, ctx). Phase 1: all gradients
-    that need only the completed ctx — du/dwo/do/dctx/dq/dwq/db/dg and the
-    q-path dx partial."""
+    """Phase 0: fwd context recompute via the folded A = sum_n p x^T
+    accumulator (ctx = A wv^T at the end). Phase 1: all gradients that need
+    only the completed ctx — with the same small-C folds as the forward:
+    o and do are never materialized; per block phase 1 runs the 5 streaming
+    dots (q, u = M qn, Z += qn du^T, dqn = N2 du, dwq, dxq) instead of 9,
+    with M = woutT ctx^T and N2 = ctx woutT^T precomputed at the phase
+    boundary, and dwo = ctx^T Z / dctx = Z woutT derived once at the end."""
     phase = pl.program_id(1)
     j = pl.program_id(2)
     num_blocks = pl.num_programs(2)
@@ -552,9 +581,10 @@ def _kernel_bwd_a(
     def _():
         m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
         s_ref[...] = jnp.zeros_like(s_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        dctx_ref[...] = jnp.zeros_like(dctx_ref)
+        a_ref[...] = jnp.zeros_like(a_ref)
+        z_ref[...] = jnp.zeros_like(z_ref)
         dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dctx_ref[...] = jnp.zeros_like(dctx_ref)
         dwo_ref[...] = jnp.zeros_like(dwo_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
         dg_ref[...] = jnp.zeros_like(dg_ref)
@@ -568,38 +598,46 @@ def _kernel_bwd_a(
     @pl.when(phase == 0)
     def _():
         k = jnp.dot(wk_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
-        v = jnp.dot(wv_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
         k = jnp.where(valid, k, _NEG_INF)
-        v = jnp.where(valid, v, 0.0)
-        m_old, s_old, acc_old = m_ref[...], s_ref[...], acc_ref[...]
+        m_old, s_old, a_old = m_ref[...], s_ref[...], a_ref[...]
         m_new = jnp.maximum(m_old, jnp.max(k, axis=1, keepdims=True))
         alpha = jnp.exp(m_old - m_new)
         p = jnp.exp(k - m_new)
         s_ref[...] = s_old * alpha + jnp.sum(p, axis=1, keepdims=True)
-        c = jax.lax.dot_general(
-            p.astype(cd), v.astype(cd), (((1,), (1,)), ((), ())),
+        a = jax.lax.dot_general(
+            p.astype(cd), x.astype(cd), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # (H, C)
         m_ref[...] = m_new
-        acc_ref[...] = acc_old * alpha + c
+        a_ref[...] = a_old * alpha + a
         dxq_ref[0] = jnp.zeros_like(dxq_ref[0])
 
         @pl.when(j == num_blocks - 1)
         def _():
             mask = _head_mask(heads, dim_head)
-            acc_ref[...] = acc_ref[...] * mask / jnp.maximum(s_ref[...], 1e-30)
+            ctx = jax.lax.dot_general(
+                a_ref[...], wv_ref[...].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (H, H)
+            ctx = ctx * mask / jnp.maximum(s_ref[...], 1e-30)
+            ctx_ref[...] = ctx
+            woutT = woutT_ref[...].astype(jnp.float32)
+            mw_ref[...] = jax.lax.dot_general(
+                woutT, ctx, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, H): M[c, d] = sum_e woutT[c, e] ctx[d, e]
+            n2_ref[...] = jax.lax.dot_general(
+                ctx, woutT, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (H, C): N2[d, c] = sum_e ctx[d, e] woutT[c, e]
 
     @pl.when(phase == 1)
     def _():
         dy = dy_ref[0].astype(jnp.float32)  # (C, block_n); padded cols are 0
         q = jnp.dot(wq_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
         qn = _slab_softmax(q, heads, dim_head, scale)  # (H, block_n)
-        ctx = acc_ref[...]
-        o = jax.lax.dot_general(
-            ctx.astype(cd), qn.astype(cd), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (H, block_n)
-        u = jnp.dot(woutT_ref[...].astype(jnp.float32), o,
+        u = jnp.dot(mw_ref[...].astype(cd), qn.astype(cd),
                     preferred_element_type=jnp.float32) + bout_ref[...]
         r = jnp.maximum(
             jnp.sqrt(jnp.sum(jnp.square(u), axis=0, keepdims=True)), 1e-12
@@ -611,19 +649,11 @@ def _kernel_bwd_a(
         inner = jnp.sum(dyh * yh, axis=0, keepdims=True)  # (1, block_n)
         du = (dyh - yh * inner) / r  # (C, block_n)
         db_ref[...] += jnp.sum(du, axis=1, keepdims=True)
-        dwo_ref[...] += jax.lax.dot_general(
-            o.astype(cd), du.astype(cd), (((1,), (1,)), ((), ())),
+        z_ref[...] += jax.lax.dot_general(
+            qn.astype(cd), du.astype(cd), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (H, C)
-        do = jax.lax.dot_general(
-            woutT_ref[...].astype(jnp.float32), du, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (H, block_n)
-        dctx_ref[...] += jax.lax.dot_general(
-            qn.astype(cd), do.astype(cd), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (H_d, H_e)
-        dqn = jnp.dot(ctx.astype(cd), do.astype(cd),
+        )  # (H, C): Z[d, c] = sum_n qn[d, n] du[c, n]
+        dqn = jnp.dot(n2_ref[...].astype(cd), du.astype(cd),
                       preferred_element_type=jnp.float32)  # (H, block_n)
         # per-head softmax backward (p = qn / scale)
         p = qn * (1.0 / scale)
@@ -644,6 +674,20 @@ def _kernel_bwd_a(
         )  # (C, block_n)
         dxq_ref[0] = dxq.astype(dxq_ref.dtype)
 
+        @pl.when(j == num_blocks - 1)
+        def _():
+            # dctx[d, e] = sum_n qn[d, n] do[e, n] = (Z woutT)[d, e]
+            # dwo[e, c]  = sum_n o[e, n] du[c, n]  = (ctx^T Z)[e, c]
+            z = z_ref[...]
+            dctx_ref[...] = jnp.dot(
+                z, woutT_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            dwo_ref[...] = jax.lax.dot_general(
+                ctx_ref[...], z, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
     m_out[0] = m_ref[...]
     s_out[0] = s_ref[...]
     dctx_out[0] = dctx_ref[...]
@@ -656,20 +700,24 @@ def _kernel_bwd_a(
 def _kernel_bwd_bc(
     x_ref, dxq_ref, dy_ref, dctx_ref, m_ref_in, s_ref_in, wk_ref, wv_ref,
     gpre_ref,
-    t_out, dwv_out, dwka_out, bmat_out, dx_ref, dgpre_out,
-    t_ref, dwv_ref, dwka_ref, bmat_ref, dgpre_ref, dx2_ref,
+    t_out, dwka_out, bmat_out, dx_ref, dgpre_out,
+    t_ref, dwka_ref, bmat_ref, dgpre_ref, dx2_ref,
     *, block_n: int, seq_len: int, heads: int, dim_head: int,
     prenorm: bool = False, residual: bool = False,
 ):
     """Merged passes B+C over a (B, 2, nb) grid.
 
-    Phase 0 (the dctx-consuming side): dv/dkn, the global T accumulation,
-    the k/v weight-grad partials, and dx_partial = dx_q + wv^T dv +
+    Phase 0 (the dctx-consuming side): dkn, the global T accumulation, the
+    k weight-grad partials, and dx_partial = dx_q + wv^T dv +
     wk^T (kn . dkn) — stashed per block in the (C, N) VMEM scratch
-    ``dx2_ref`` instead of an HBM output.  Phase 1 (possible only once T
-    is complete): dxn = dx_partial - wk^T (kn . T); then (fused-prenorm
-    variants) push dxn through the pre-RMSNorm back to the raw input, add
-    the residual cotangent, and accumulate dg_pre."""
+    ``dx2_ref`` instead of an HBM output. v and dv are folded out via
+    D2 = dctx wv (H, C): dkn = D2 x and wv^T dv = D2^T kn, so phase 0 runs
+    5 streaming dots (k, dkn, dwka, bmat, dx2 x2 merged as two) instead of
+    8, and dwv is recovered OUTSIDE the kernel as sum_b bmat_b dctx_b.
+    Phase 1 (possible only once T is complete):
+    dxn = dx_partial - wk^T (kn . T); then (fused-prenorm variants) push
+    dxn through the pre-RMSNorm back to the raw input, add the residual
+    cotangent, and accumulate dg_pre."""
     phase = pl.program_id(1)
     j = pl.program_id(2)
     H = heads * dim_head
@@ -679,7 +727,6 @@ def _kernel_bwd_bc(
     @pl.when((phase == 0) & (j == 0))
     def _():
         t_ref[...] = jnp.zeros_like(t_ref)
-        dwv_ref[...] = jnp.zeros_like(dwv_ref)
         dwka_ref[...] = jnp.zeros_like(dwka_ref)
         bmat_ref[...] = jnp.zeros_like(bmat_ref)
         dgpre_ref[...] = jnp.zeros_like(dgpre_ref)
@@ -702,24 +749,19 @@ def _kernel_bwd_bc(
 
     @pl.when(phase == 0)
     def _():
-        v = jnp.dot(wv_ref[...].astype(jnp.float32), x,
-                    preferred_element_type=jnp.float32)
-        v = jnp.where(valid, v, 0.0)
-
         dctx = dctx_ref[0]  # (H_d, H_e), already head-masked
-        dkn = jnp.dot(dctx.astype(cd), v.astype(cd),
-                      preferred_element_type=jnp.float32)  # (H_d, block_n)
-        dv = jax.lax.dot_general(
-            dctx.astype(cd), kn.astype(cd), (((0,), (0,)), ((), ())),
+        # D2[d, c] = sum_e dctx[d, e] wv[e, c] — folds v/dv out of the
+        # stream: dkn = dctx v = D2 x and wv^T dv = (dctx wv)^T kn = D2^T kn
+        # (one tiny (H, H) x (H, C) pass per block vs two (H, bn) dots).
+        d2 = jax.lax.dot_general(
+            dctx, wv_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (H_e, block_n)
+        )  # (H_d, C)
+        dkn = jnp.dot(d2.astype(cd), x.astype(cd),
+                      preferred_element_type=jnp.float32)  # (H_d, block_n)
 
         kdkn = kn * dkn
         t_ref[...] += jnp.sum(kdkn, axis=1, keepdims=True)
-        dwv_ref[...] += jax.lax.dot_general(
-            x.astype(cd), dv.astype(cd), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
         dwka_ref[...] += jax.lax.dot_general(
             x.astype(cd), kdkn.astype(cd), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -730,9 +772,9 @@ def _kernel_bwd_bc(
         )
         dx2 = dxq_ref[0].astype(jnp.float32)
         dx2 = dx2 + jax.lax.dot_general(
-            wv_ref[...].astype(jnp.float32), dv, (((0,), (0,)), ((), ())),
+            d2.astype(cd), kn.astype(cd), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # wv^T dv
         dx2 = dx2 + jax.lax.dot_general(
             wk_ref[...].astype(jnp.float32), kdkn, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -760,7 +802,6 @@ def _kernel_bwd_bc(
         dx_ref[0] = dx.astype(dx_ref.dtype)
 
     t_out[0] = t_ref[...]
-    dwv_out[0] = dwv_ref[...]
     dwka_out[0] = dwka_ref[...]
     bmat_out[0] = bmat_ref[...]
     dgpre_out[0] = dgpre_ref[...]
@@ -829,8 +870,10 @@ def _fused_backward_t(
         ],
         scratch_shapes=[
             _scratch_vmem((H, 1), f32), _scratch_vmem((H, 1), f32),
-            _scratch_vmem((H, H), f32), _scratch_vmem((H, H), f32),
+            _scratch_vmem((H, C), f32), _scratch_vmem((H, H), f32),
             _scratch_vmem((C, H), f32), _scratch_vmem((H, C), f32),
+            _scratch_vmem((H, C), f32), _scratch_vmem((C, H), f32),
+            _scratch_vmem((H, H), f32), _scratch_vmem((H, C), f32),
             _scratch_vmem((C, 1), f32), _scratch_vmem((C, 1), f32),
         ],
         interpret=interpret,
@@ -847,11 +890,10 @@ def _fused_backward_t(
     # block 0 in the other phase -> Pallas skips the unchanged-block DMAs);
     # dx's phase-0 index is likewise pinned so the unwritten ref flushes
     # once, into a block phase 1 immediately overwrites.
-    t_o, dwv, dwka, bmat, dxt, dgpre = pl.pallas_call(
+    t_o, dwka, bmat, dxt, dgpre = pl.pallas_call(
         kernel_bc,
         out_shape=[
             jax.ShapeDtypeStruct((B, H, 1), f32),
-            jax.ShapeDtypeStruct((B, C, H), f32),
             jax.ShapeDtypeStruct((B, C, H), f32),
             jax.ShapeDtypeStruct((B, C, H), f32),
             jax.ShapeDtypeStruct((B, C, np_), x.dtype),
@@ -866,13 +908,13 @@ def _fused_backward_t(
             const((H, C)), const((H, C)), const((C, 1)),
         ],
         out_specs=[
-            perb((H, 1)), perb((C, H)), perb((C, H)), perb((C, H)),
+            perb((H, 1)), perb((C, H)), perb((C, H)),
             _vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j * p)),
             perb((C, 1)),
         ],
         scratch_shapes=[
             _scratch_vmem((H, 1), f32), _scratch_vmem((C, H), f32),
-            _scratch_vmem((C, H), f32), _scratch_vmem((C, H), f32),
+            _scratch_vmem((C, H), f32),
             _scratch_vmem((C, 1), f32), _scratch_vmem((C, np_), f32),
         ],
         interpret=interpret,
@@ -880,10 +922,13 @@ def _fused_backward_t(
 
     dx = jnp.swapaxes(dxt[:, :, :N], 1, 2)
     # finalize weight grads in XLA (tiny tensors): apply dWk's T-correction
-    # per batch, then reduce over B
+    # per batch, then reduce over B; dwv is recovered from the bmat
+    # side-product (dwv[c, e] = sum_b sum_d bmat_b[c, d] dctx_b[d, e]) —
+    # the kernel never materializes v or dv.
     dwk = dwka - bmat * jnp.swapaxes(t_o, 1, 2)  # (B, C, H)
+    dwv = jnp.einsum("bcd,bde->ce", bmat, dctx)
     dw_qkv = jnp.concatenate(
-        [jnp.sum(dwq, axis=0), jnp.sum(dwk, axis=0), jnp.sum(dwv, axis=0)], axis=-1
+        [jnp.sum(dwq, axis=0), jnp.sum(dwk, axis=0), dwv], axis=-1
     ).astype(w_qkv.dtype)
     dw_out = jnp.sum(dwo, axis=0).astype(w_out.dtype)
     db_f = jnp.sum(db, axis=0)[:, 0].astype(b_out.dtype)
