@@ -269,7 +269,10 @@ def bench_flagship():
     sample_ship = bench_unet_sample(batch=1, quantize_mid=True, fused_resnet=True)
     sample_bf16 = bench_unet_sample(batch=1)
     sample_bs8 = bench_unet_sample(batch=8, quantize_mid=True, fused_resnet=True)
-    train = bench_unet_train(batch_size=1)
+    # Training uses the shipping training config too: the fused-resnet
+    # custom_vjp path (remat-equivalent by construction, grad-parity
+    # test-pinned) — same kernels the inference config ships.
+    train = bench_unet_train(batch_size=1, fused_resnet=True)
     return {
         "metric": sample_ship["metric"],
         "value": sample_ship["value"],

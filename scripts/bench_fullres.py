@@ -36,14 +36,14 @@ def timeit(fn, n):
     return (time.perf_counter() - t0) / n * 1000
 
 
-def build_model(dtype, remat=False):
+def build_model(dtype, remat=False, fused=False):
     from dquartic_tpu.models import UNet1d
 
     return UNet1d(
         dim=4, channels=1, dim_mults=(1, 2, 2, 3, 3, 4, 4), conditional=True,
         init_cond_channels=1, attn_cond_channels=1, tfer_dim_mult=620,
         downsample_dim=MZ, simple=True, dtype=dtype,
-        linear_attn_impl="pallas_t", remat_blocks=remat,
+        linear_attn_impl="pallas_t", remat_blocks=remat, fused_resnet=fused,
     )
 
 
@@ -64,10 +64,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/dquartic_jax_cache")
     which = sys.argv[1] if len(sys.argv) > 1 else "fwd"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    print(f"window ({RT}, {MZ}): f32 = {RT*MZ*4/1e6:.0f} MB", flush=True)
+    fused = which.endswith("_fused")
+    which = which.removesuffix("_fused")
+    print(f"window ({RT}, {MZ}): f32 = {RT*MZ*4/1e6:.0f} MB fused={fused}", flush=True)
 
     if which in ("fwd", "sample"):
-        m = build_model(jnp.bfloat16)
+        m = build_model(jnp.bfloat16, fused=fused)
         b = make_batch(1)
         x = jnp.asarray(b["ms2_1"])
         t = jnp.zeros((1,), jnp.int32)
@@ -96,7 +98,7 @@ def main():
         from dquartic_tpu.core import DDIMProcess, make_schedule
         from dquartic_tpu.train import Trainer
 
-        m = build_model(jnp.bfloat16, remat=True)
+        m = build_model(jnp.bfloat16, remat=True, fused=fused)
         process = DDIMProcess(schedule=make_schedule(1000, "cosine", "eps"))
         tx = optax.chain(
             optax.clip_by_global_norm(10.0), optax.scale_by_factored_rms()
