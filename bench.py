@@ -263,30 +263,40 @@ def bench_flagship():
     """Default driver metric: canonical UNet1d sampling in the shipping
     inference config — int8 mid-block weight streaming + the fused
     transposed-resident ResnetBlock path (both test-pinned for drift /
-    parity vs the bf16 reference path) — plus bf16 sampling, training,
-    and batch-8 amortization alongside. vs_baseline = round-over-round
-    speedup vs the round-2 figure (which was bf16, unfused)."""
+    parity vs the bf16 reference path) — plus the shipping training
+    config. vs_baseline = round-over-round speedup vs the round-2 figure
+    (which was bf16, unfused).
+
+    Each 1.2B sub-benchmark costs ~3 min of cold compile on the tunneled
+    platform, so the default run keeps only the two headline figures
+    (shipping sampling + shipping training). BENCH_FULL=1 adds the bf16
+    bs1 and shipping bs8 sampling points (their measured values live in
+    BENCH_NOTES.md round-3 tables)."""
     sample_ship = bench_unet_sample(batch=1, quantize_mid=True, fused_resnet=True)
-    sample_bf16 = bench_unet_sample(batch=1)
-    sample_bs8 = bench_unet_sample(batch=8, quantize_mid=True, fused_resnet=True)
     # Training uses the shipping training config too: the fused-resnet
     # custom_vjp path (remat-equivalent by construction, grad-parity
     # test-pinned) — same kernels the inference config ships.
     train = bench_unet_train(batch_size=1, fused_resnet=True)
+    extra = {
+        "train_ms_per_sample_bs1": train["value"],
+        "train_vs_round2": round(ROUND2_TRAIN_MS / train["value"], 2),
+        "round2_sample_ms": ROUND2_SAMPLE_MS,
+        "round2_train_ms": ROUND2_TRAIN_MS,
+    }
+    if os.environ.get("BENCH_FULL"):
+        sample_bf16 = bench_unet_sample(batch=1)
+        sample_bs8 = bench_unet_sample(batch=8, quantize_mid=True, fused_resnet=True)
+        extra.update(
+            sample_ms_bf16_bs1=sample_bf16["value"],
+            sample_bf16_vs_round2=round(ROUND2_SAMPLE_MS / sample_bf16["value"], 2),
+            sample_ms_per_window_bs8=sample_bs8["value"],
+        )
     return {
         "metric": sample_ship["metric"],
         "value": sample_ship["value"],
         "unit": sample_ship["unit"],
         "vs_baseline": round(ROUND2_SAMPLE_MS / sample_ship["value"], 2),
-        "extra": {
-            "sample_ms_bf16_bs1": sample_bf16["value"],
-            "sample_bf16_vs_round2": round(ROUND2_SAMPLE_MS / sample_bf16["value"], 2),
-            "sample_ms_per_window_bs8": sample_bs8["value"],
-            "train_ms_per_sample_bs1": train["value"],
-            "train_vs_round2": round(ROUND2_TRAIN_MS / train["value"], 2),
-            "round2_sample_ms": ROUND2_SAMPLE_MS,
-            "round2_train_ms": ROUND2_TRAIN_MS,
-        },
+        "extra": extra,
     }
 
 
