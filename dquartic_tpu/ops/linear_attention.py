@@ -334,10 +334,11 @@ def _prenorm(x, gpre, channels):
 
 
 def _kernel_ab_t(
-    x_ref, wq_ref, wk_ref, wv_ref, woutT_ref, bout_ref, g_ref, gpre_ref, o_ref,
+    x_ref, wq_ref, wk_ref, wv_ref, woutT_ref, bout_ref, g_ref, gpre_ref,
+    kshift_ref, qshift_ref, o_ref,
     m_ref, s_ref, acc_ref, cw_ref,
     *, block_n: int, seq_len: int, heads: int, dim_head: int, channels: int,
-    prenorm: bool = False, residual: bool = False,
+    prenorm: bool = False, residual: bool = False, static_shift: bool = False,
 ):
     """Transposed two-phase kernel. All tiles are (rows, block_n) with the
     sequence on the lane axis, so VMEM tiles and HBM<->VMEM DMAs are
@@ -361,6 +362,19 @@ def _kernel_ab_t(
     module's norm -> attn -> +x sandwich into the kernel removes two full
     (N, C) HBM round trips per mixer (the round-2 trace's ~1.5 ms of
     boundary copies).
+
+    ``static_shift`` (prenorm only): the online-softmax running max is
+    replaced by a per-row shift computed OUTSIDE the kernel from weight
+    norms — the pre-RMSNormed tile has column norm <= sqrt(C)*max|g_pre|
+    exactly, so kshift[d] = ||wk_d|| * sqrt(C) * max|g_pre| upper-bounds
+    every k[d, n] (Cauchy-Schwarz) and exp(k - kshift) can never
+    overflow. A softmax shift is mathematically free (it cancels in
+    A/s and in the per-head q normalization), so this removes the
+    per-block (H, bn) lane max-reduction, the accumulator rescale, and
+    the alpha machinery from the stream — measured ~0.22 ms of the
+    1.55 ms L0 call (scripts/bench_linattn_ablate.py). A -76 clamp keeps
+    pathological weight norms (bound loose by > ~76 nats) degrading to
+    uniform-ish attention instead of denormal garbage.
     """
     phase = pl.program_id(1)
     j = pl.program_id(2)
@@ -380,18 +394,31 @@ def _kernel_ab_t(
 
     x_raw = x_ref[0].astype(jnp.float32)  # (C, block_n)
     x = _prenorm(x_raw, gpre_ref[...], channels) if prenorm else x_raw
-    col = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (H, block_n), 1)
-    valid = col < seq_len
 
     @pl.when(phase == 0)
     def _():
         k = jnp.dot(wk_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
-        k = jnp.where(valid, k, _NEG_INF)
+        # mask padded columns; a (1, bn) iota broadcast in the where is
+        # cheaper than materializing an (H, bn) index tile
+        col = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1)
+        k = jnp.where(col < seq_len, k, _NEG_INF)
 
-        m_old, s_old, acc_old = m_ref[...], s_ref[...], acc_ref[...]  # (H,1),(H,1),(H,C)
-        m_new = jnp.maximum(m_old, jnp.max(k, axis=1, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)  # (H, 1), per row d
-        p = jnp.exp(k - m_new)  # (H, block_n); padded cols -> 0
+        s_old, acc_old = s_ref[...], acc_ref[...]  # (H,1),(H,C)
+        if static_shift:
+            # shift is a precomputed upper bound: no lane reduce, no
+            # rescale; padded columns stay exactly 0 (exp2(-inf)). A bound
+            # loose by > ~85 nats (weight norms > ~40) underflows p toward
+            # 0 and degrades ctx toward 0 instead of NaN. The wrapper
+            # pre-scales wk/wq and the shifts by log2(e), so exp(k) is the
+            # single-instruction exp2(k2) — one fewer (H, bn) multiply.
+            p = jnp.exp2(k - kshift_ref[...])
+            alpha = 1.0
+        else:
+            m_old = m_ref[...]
+            m_new = jnp.maximum(m_old, jnp.max(k, axis=1, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)  # (H, 1), per row d
+            p = jnp.exp(k - m_new)  # (H, block_n); padded cols -> 0
+            m_ref[...] = m_new
         s_new = s_old * alpha + jnp.sum(p, axis=1, keepdims=True)
         # The v projection is folded out of the streaming loop entirely:
         # ctx[d, e] = sum_n p[d, n] (wv x)[e, n] = sum_c A[d, c] wv[e, c]
@@ -404,10 +431,8 @@ def _kernel_ab_t(
             p.astype(cd), x.astype(cd), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (H, C)
-        m_ref[...] = m_new
         s_ref[...] = s_new
         acc_ref[...] = acc_old * alpha + a
-        o_ref[0] = jnp.zeros_like(o_ref[0])
 
         @pl.when(j == num_blocks - 1)
         def _():
@@ -433,18 +458,24 @@ def _kernel_ab_t(
     @pl.when(phase == 1)
     def _():
         q = jnp.dot(wq_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
-        # per-head softmax over the d rows of each head: subtract the
-        # column-global max (a valid shift for every head segment), then
-        # normalize each head's 2-D sublane slab by its own column sum —
-        # exact f32, no (H, H) matmul (Mosaic can't 3-D-reshape, but 2-D
-        # slab reductions are native VPU ops).
-        gmax = jnp.max(q, axis=0, keepdims=True)  # (1, block_n)
-        eq = jnp.exp(q - gmax)
+        # per-head softmax over the d rows of each head: subtract a shift
+        # constant over each head segment, then normalize each head's 2-D
+        # sublane slab by its own column sum — exact f32, no (H, H)
+        # matmul (Mosaic can't 3-D-reshape, but 2-D slab reductions are
+        # native VPU ops). With static_shift the shift is the precomputed
+        # per-head weight-norm bound (constant within a head, so still a
+        # valid softmax shift) instead of the column-global max — no
+        # sublane max-reduction in the stream.
+        if static_shift:
+            eq = jnp.exp2(q - qshift_ref[...])  # wq pre-scaled by log2(e)
+        else:
+            gmax = jnp.max(q, axis=0, keepdims=True)  # (1, block_n)
+            eq = jnp.exp(q - gmax)
         slabs = []
         for h in range(heads):
             slab = eq[h * dim_head : (h + 1) * dim_head]
             ssum = jnp.sum(slab, axis=0, keepdims=True)  # (1, block_n)
-            slabs.append(slab / jnp.maximum(ssum, 1e-30))
+            slabs.append(slab * (1.0 / jnp.maximum(ssum, 1e-30)))
         qn = jnp.concatenate(slabs, axis=0) * (dim_head**-0.5)
         # y[c, n] = sum_d M[c, d] qn[d, n] with the folded M = woutT ctx^T
         y = jnp.dot(cw_ref[...].astype(cd), qn.astype(cd),
@@ -455,6 +486,24 @@ def _kernel_ab_t(
         if residual:
             y = y + x_raw
         o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _static_shifts(wq, wk, gp2, heads, channels):
+    """Per-row softmax shift bounds for the prenorm kernel (f32, (H, 1)).
+
+    The pre-RMSNormed tile has exact column norm sqrt(C) * ||u ∘ g_pre||
+    <= sqrt(C) * max|g_pre|, so (Cauchy-Schwarz) kshift[d] = ||wk_d|| *
+    sqrt(C) * max|g_pre| upper-bounds every k[d, n]. The q shift must be
+    constant within each head (it is a per-column softmax over the head's
+    rows), so it is the per-head max of the row bounds.
+    """
+    dim_head = wq.shape[0] // heads
+    cn = (channels**0.5) * jnp.max(jnp.abs(gp2))
+    kshift = jnp.linalg.norm(wk.astype(jnp.float32), axis=1, keepdims=True) * cn
+    qrow = jnp.linalg.norm(wq.astype(jnp.float32), axis=1) * cn
+    qhead = jnp.max(qrow.reshape(heads, dim_head), axis=1)
+    qshift = jnp.repeat(qhead, dim_head).reshape(-1, 1)
+    return kshift, qshift
 
 
 def _fused_forward_single_t(
@@ -479,17 +528,32 @@ def _fused_forward_single_t(
     woutT = w_out.T  # (C, H)
     b2 = b_out.reshape(C, 1).astype(jnp.float32)
     g2 = g.reshape(C, 1).astype(jnp.float32)
+    prenorm = g_pre is not None
     gp2 = (
         g_pre.reshape(C, 1).astype(jnp.float32)
-        if g_pre is not None
+        if prenorm
         else jnp.ones((C, 1), jnp.float32)
     )
+    if prenorm:
+        # static_shift path computes exp via exp2: fold log2(e) into the
+        # q/k projections and their shifts (softmax-invariant rescale)
+        kshift, qshift = _static_shifts(wq, wk, gp2, heads, C)
+        log2e = 1.4426950408889634
+        wq = wq.astype(jnp.float32) * log2e  # stays f32: no extra rounding
+        wk = wk.astype(jnp.float32) * log2e
+        kshift, qshift = kshift * log2e, qshift * log2e
+    else:
+        kshift = qshift = jnp.zeros((H, 1), jnp.float32)
 
     kernel = functools.partial(
         _kernel_ab_t, block_n=block_n, seq_len=N, heads=heads,
         dim_head=dim_head, channels=C,
-        prenorm=g_pre is not None, residual=residual,
+        prenorm=prenorm, residual=residual, static_shift=prenorm,
     )
+    # Phase 0 never writes the output: its block index is pinned to 0 so
+    # no per-block zero-fill + HBM store happens there; the one garbage
+    # flush of block 0 at the phase transition is overwritten by the
+    # phase-1 visit of the same block.
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, C, np_), x.dtype),
@@ -503,8 +567,10 @@ def _fused_forward_single_t(
             _vmem_spec((C, 1), lambda i, p, j: (0, 0)),
             _vmem_spec((C, 1), lambda i, p, j: (0, 0)),
             _vmem_spec((C, 1), lambda i, p, j: (0, 0)),
+            _vmem_spec((H, 1), lambda i, p, j: (0, 0)),
+            _vmem_spec((H, 1), lambda i, p, j: (0, 0)),
         ],
-        out_specs=_vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j)),
+        out_specs=_vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j * p)),
         scratch_shapes=[
             _scratch_vmem((H, 1), jnp.float32),
             _scratch_vmem((H, 1), jnp.float32),
@@ -512,7 +578,7 @@ def _fused_forward_single_t(
             _scratch_vmem((C, H), jnp.float32),
         ],
         interpret=interpret,
-    )(xt, wq, wk, wv, woutT, b2, g2, gp2)
+    )(xt, wq, wk, wv, woutT, b2, g2, gp2, kshift, qshift)
     return jnp.swapaxes(y[:, :, :N], 1, 2)
 
 
