@@ -176,6 +176,31 @@ def int8_matmul_reference(x, w_q, scale, out_dtype=None):
     return (acc * scale[None, :]).astype(out_dtype)
 
 
+@jax.custom_jvp
+def _inference_only(x: jnp.ndarray) -> jnp.ndarray:
+    """Identity that refuses differentiation with an actionable message.
+
+    Without it, differentiating a ``quantize_mid`` model surfaces as an
+    opaque "pallas_call does not have a transpose/jvp rule" deep inside
+    JAX. int8 weights are frozen post-training artifacts — there is no
+    meaningful weight gradient — so training configs must use the bf16
+    master weights (``tpu.quantize_mid`` belongs in `predict`, not
+    `train`).
+    """
+    return x
+
+
+@_inference_only.defjvp
+def _inference_only_jvp(primals, tangents):
+    raise NotImplementedError(
+        "int8 quantized mid-block weights are inference-only: the weights "
+        "are frozen int8 + per-channel scales with no gradient. Train with "
+        "the bf16 master weights and quantize afterwards "
+        "(ops.quantization.quantize_mid_block_params / `cli predict "
+        "--quantize-mid`); remove `quantize_mid` from the training config."
+    )
+
+
 def int8_conv1d(
     x: jnp.ndarray,
     w_q: jnp.ndarray,
@@ -209,6 +234,12 @@ def int8_conv1d(
             axis_names={dp_axis},
             check_vma=False,
         )(x, w_q, scale)
+    # Guard every differentiable operand: x carries tangents from earlier
+    # layers' params; scale/bias are themselves (frozen) float params.
+    x = _inference_only(x)
+    scale = _inference_only(scale)
+    if bias is not None:
+        bias = _inference_only(bias)
     b, length, cin = x.shape
     pad = (kernel - 1) // 2
     xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))

@@ -65,12 +65,28 @@ def make_optimizer(
     b2: float = 0.999,
     eps: float = 1e-8,
     weight_decay: float = 0.01,
+    kind: str = "adamw",
 ) -> optax.GradientTransformation:
     """Gradient transform: clip -> adam moments -> decoupled weight decay.
 
     The returned updates are in **ascent** orientation; the train step
     multiplies by ``-lr``.
+
+    ``kind="factored"`` swaps the Adam moments for a factored second
+    moment (Adafactor-style ``scale_by_factored_rms``): optimizer state
+    shrinks from 2x f32 params to ~row+column statistics — the
+    single-chip recipe for the canonical 1.2B UNet1d, whose f32 Adam
+    moments alone (9.6 GB) overflow a 16 GB chip (BENCH_NOTES.md). No
+    first moment and no weight decay, matching the benched shipping
+    training config.
     """
+    if kind == "factored":
+        return optax.chain(
+            optax.clip_by_global_norm(clip_norm),
+            optax.scale_by_factored_rms(),
+        )
+    if kind != "adamw":
+        raise ValueError(f"Unknown optimizer kind: {kind!r} (adamw|factored)")
     return optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.scale_by_adam(b1=b1, b2=b2, eps=eps),

@@ -148,6 +148,21 @@ def apply_mesh_model_flags(model, mesh):
 def build_trainer(
     config: Dict[str, Any], mesh=None, logger=None, seed: int = 0
 ) -> Trainer:
+    # int8 mid-block weights are inference-only (frozen, no gradient):
+    # reject them up front instead of failing mid-trace (see
+    # ops.int8_matmul._inference_only for the in-graph guard).
+    if config["tpu"].get("quantize_mid") or (
+        config["model"]["use_model"] == "UNet1d"
+        and config["model"]["UNet1d"].get("quantize_mid")
+    ):
+        raise ValueError(
+            "tpu.quantize_mid / UNet1d.quantize_mid is inference-only and "
+            "cannot appear in a training config: int8 weights are frozen "
+            "post-training artifacts with no gradient. Train with bf16 "
+            "master weights, then quantize the checkpoint for `predict` "
+            "(`cli predict --quantize-mid` or "
+            "ops.quantization.quantize_mid_block_params)."
+        )
     model = build_model(config)
     process = build_process(config)
     if mesh is None:
@@ -188,7 +203,10 @@ def build_trainer(
     return Trainer(
         model,
         process,
-        optimizer=make_optimizer(),
+        # tpu.optimizer: "adamw" (reference parity, default) or "factored"
+        # (Adafactor-style second moment — required to fit the canonical
+        # 1.2B model's optimizer state on a single 16 GB chip).
+        optimizer=make_optimizer(kind=config["tpu"].get("optimizer", "adamw")),
         ema_decay=config["tpu"]["ema_decay"],
         mesh=mesh,
         logger=logger,

@@ -30,6 +30,10 @@ TPU_DEFAULTS: Dict[str, Any] = {
     # pyopenms_viz 3-D peakmap styling, reimplemented natively in
     # utils/viz.py — reference model_interface.py:796-976).
     "plot_backend": "matplotlib",
+    # Optimizer: "adamw" (reference parity) or "factored" (clip +
+    # Adafactor-style factored second moment — the single-chip memory
+    # recipe for the canonical 1.2B UNet1d; see train/optim.py).
+    "optimizer": "adamw",
     # Inference-time int8 mid-block convs (Pallas dequant-in-VMEM kernel,
     # ops/int8_matmul.py): halves the dominant weight stream of the
     # canonical UNet1d forward. Used by `predict`; training is unaffected.
