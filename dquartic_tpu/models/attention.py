@@ -123,6 +123,12 @@ class LinearAttention(nn.Module):
     # pallas_t path runs its shard_map variant so jit-SPMD keeps the
     # kernel per-shard instead of all-gathering around the custom call
     dp_axis: Optional[str] = None
+    # mesh axis the SEQUENCE (m/z) is sharded over (activation sharding):
+    # the pallas_t path runs the sequence-parallel split-phase kernels
+    # (phase-0 stats psum'd across the axis; ops/linear_attention.py sp
+    # section). Falls back to XLA when the sequence does not divide the
+    # axis or is below the per-shard crossover.
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -156,6 +162,37 @@ class LinearAttention(nn.Module):
         # the per-call floor dominates and XLA wins. The floor applies only
         # to auto/env dispatch; an explicit module-level impl= always wins.
         if auto_resolved and impl != "xla" and x.shape[1] < min_seq:
+            impl = "xla"
+
+        if impl == "pallas_t" and self.sp_axis is not None:
+            # sequence-parallel dispatch: engage the split-phase kernels
+            # only when the m/z axis divides the sp mesh axis evenly (and
+            # the rows divide dp), each shard's sequence clears the
+            # crossover, and the call is the fused prenorm form; otherwise
+            # the XLA impl owns the split axis (it partitions fine — the
+            # kernel path is a measured ~4x win at canonical widths, not a
+            # correctness requirement).
+            shape = dict(jax.sharding.get_abstract_mesh().shape)
+            sp_size = shape.get(self.sp_axis)
+            dp_size = shape.get(self.dp_axis, 1) if self.dp_axis else 1
+            rows, n = x.shape[0], x.shape[1]
+            ok = (
+                g_pre is not None
+                and sp_size is not None
+                and n % sp_size == 0
+                and (dp_size or 1) > 0
+                and rows % (dp_size or 1) == 0
+                and (not auto_resolved or n // sp_size >= min_seq)
+            )
+            if ok:
+                from ..ops.linear_attention import fused_linear_attention_t
+
+                return fused_linear_attention_t(
+                    x.astype(self.dtype), w_qkv[0], w_out[0], b_out, g,
+                    heads=self.heads, dim_head=self.dim_head,
+                    g_pre=g_pre, residual=residual,
+                    dp_axis=self.dp_axis, sp_axis=self.sp_axis,
+                )
             impl = "xla"
 
         if impl == "pallas_t":

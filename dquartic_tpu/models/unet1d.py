@@ -145,12 +145,16 @@ class UNet1d(nn.Module):
             )
         dtype = self.dtype
         # Under SPMD activation sharding the m/z axis is partitioned across
-        # the mesh; the Pallas kernel has no sharding rule, so "auto"
-        # resolves linear attention to XLA (which partitions fine). An
-        # explicit impl= still forces the kernel.
+        # the mesh. Linear attention keeps the Pallas fast path via the
+        # sequence-parallel split-phase kernels (ops/linear_attention.py sp
+        # section): LinearAttention receives the (dp, sp) axis names and
+        # per level engages the kernel when the m/z width divides the sp
+        # axis, falling back to XLA otherwise (round 3 fell back to the
+        # ~4x-slower XLA path for every level).
         la_impl = self.linear_attn_impl
-        if self.activation_sharding is not None and la_impl == "auto":
-            la_impl = "xla"
+        la_dp_axis, la_sp_axis = self.kernel_dp_axis, None
+        if self.activation_sharding is not None:
+            la_dp_axis, la_sp_axis = self.activation_sharding
         fuse = self.fused_resnet
         if fuse and self.activation_sharding is not None:
             raise ValueError("fused_resnet is incompatible with activation_sharding")
@@ -245,7 +249,10 @@ class UNet1d(nn.Module):
             """norm -> linattn -> +residual sandwich; under fuse the
             swapaxes pair cancels against the pallas_t kernel's own."""
             g_pre_ = RMSNormParam(dim_, name=name_norm)()
-            attn = LinAttn(dim_, impl=la_impl, dtype=dtype, dp_axis=dp_ax, name=name_fn)
+            attn = LinAttn(
+                dim_, impl=la_impl, dtype=dtype, dp_axis=la_dp_axis,
+                sp_axis=la_sp_axis, name=name_fn,
+            )
             if fuse:
                 return jnp.swapaxes(attn(jnp.swapaxes(h, 1, 2), g_pre_, True), 1, 2)
             return attn(h, g_pre_, True)
@@ -279,8 +286,8 @@ class UNet1d(nn.Module):
                 ac = ResnetBlock(acid, time_emb_dim=None, dtype=dtype, name="attn_mz_res2")(ac)
                 g_pre = RMSNormParam(acid, name="attn_mz_attn_norm")()
                 ac = LinAttn(
-                    acid, impl=la_impl, dtype=dtype, dp_axis=dp_ax,
-                    name="attn_mz_attn_fn",
+                    acid, impl=la_impl, dtype=dtype, dp_axis=la_dp_axis,
+                    sp_axis=la_sp_axis, name="attn_mz_attn_fn",
                 )(ac, g_pre, True)
 
             # pivot '(b rt) mz d -> b rt (d mz)' with channel-major (d, mz)

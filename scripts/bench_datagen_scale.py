@@ -1,0 +1,194 @@
+"""Scaled data-pipeline proof (VERDICT r3 next-round #5).
+
+The reference generates training data at 6 runs x 54 isolation windows
+with SLURM jobs sized at **800 GB RAM / 32 cores / 2 days** per run
+(reference run_data_gen.sh:8-43, data_generation.py:229-387). No real
+HeLa-2018 sqMass exists in this environment, so this script builds a
+*realistically structured* synthetic sqMass at a configurable fraction of
+that envelope, then drives the real `generate-train-data` path end to end
+and reports wall time + peak RSS per isolation window — the numbers that
+show the single-pass CSR pivot (data/slices.py) does not need the
+reference's 800 GB.
+
+Stages (argv[1]):
+  make   — synthesize the sqMass SQLite (chromatographic peaks: RT
+           Gaussians x fragment m/z clusters, peak-picked spectra)
+  gen    — run generate_data_slices per isolation window; print
+           rows/s, wall, peak RSS
+  all    — both
+
+Scale knobs (env): DG_MS1 (MS1 spectra, default 2000), DG_WIN (isolation
+windows, default 8), DG_PEAKS (peaks per MS2 spectrum, default 2000).
+Defaults produce a ~0.9 GB sqMass with 2000 RT points per window — the
+same per-window RT density as a 2 h gradient at ~3.5 s cycle time.
+
+The generated parquet feeds a real training run: point a train config's
+data.parquet_directory at the output directory (examples in
+BENCH_NOTES.md round-4 notes).
+"""
+
+import os
+import resource
+import sqlite3
+import struct
+import sys
+import time
+import zlib
+
+import numpy as np
+
+ROOT = os.environ.get("DG_ROOT", "/tmp/datagen_scale")
+N_MS1 = int(os.environ.get("DG_MS1", "2000"))
+N_WIN = int(os.environ.get("DG_WIN", "8"))
+N_PEAKS = int(os.environ.get("DG_PEAKS", "2000"))
+
+
+def _pack(values):
+    return zlib.compress(struct.pack(f"<{len(values)}d", *values))
+
+
+def cmd_make():
+    """Synthetic DIA run: N_MS1 MS1 spectra + N_WIN isolation windows of
+    interleaved MS2 spectra. Intensities come from ~200 synthetic peptides
+    per window (RT Gaussian x 6-18 fragment masses) + uniform noise peaks,
+    so the downstream windows carry deconvolvable structure."""
+    os.makedirs(ROOT, exist_ok=True)
+    path = f"{ROOT}/run.sqMass"
+    if os.path.exists(path):
+        os.unlink(path)
+    conn = sqlite3.connect(path)
+    cur = conn.cursor()
+    cur.executescript(
+        """
+        CREATE TABLE SPECTRUM (ID INTEGER PRIMARY KEY, RETENTION_TIME REAL,
+                               NATIVE_ID TEXT, MSLEVEL INTEGER);
+        CREATE TABLE PRECURSOR (SPECTRUM_ID INTEGER, ISOLATION_TARGET REAL,
+                                ISOLATION_LOWER REAL, ISOLATION_UPPER REAL);
+        CREATE TABLE DATA (SPECTRUM_ID INTEGER, COMPRESSION INTEGER,
+                           DATA_TYPE INTEGER, DATA BLOB);
+        """
+    )
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    rts = 10.0 + 3.5 * np.arange(N_MS1)  # ~2 h gradient at 3.5 s cycle
+
+    # peptide library per window: (rt_center, rt_sigma, frag_mz[], frag_int[])
+    def peptides(n=200):
+        out = []
+        for _ in range(n):
+            c = float(rng.uniform(rts[0], rts[-1]))
+            s = float(rng.uniform(5, 25))  # seconds
+            nf = int(rng.integers(6, 18))
+            fmz = np.sort(rng.uniform(100, 1500, nf))
+            fin = rng.lognormal(4, 1, nf)
+            out.append((c, s, fmz, fin))
+        return out
+
+    win_peps = [peptides() for _ in range(N_WIN)]
+    sid = 0
+    total_peaks = 0
+    for i, rt in enumerate(rts):
+        # MS1 spectrum (precursor profiles of every window's peptides)
+        sid += 1
+        cur.execute("INSERT INTO SPECTRUM VALUES (?,?,?,?)", (sid, float(rt), f"ms1_{i}", 1))
+        mz1 = np.sort(rng.uniform(400, 1200, 400))
+        in1 = rng.lognormal(3, 1, 400)
+        cur.execute("INSERT INTO DATA VALUES (?,?,?,?)", (sid, 1, 0, _pack(mz1)))
+        cur.execute("INSERT INTO DATA VALUES (?,?,?,?)", (sid, 1, 1, _pack(in1)))
+        total_peaks += len(mz1)
+        # one MS2 spectrum per isolation window per cycle
+        for w in range(N_WIN):
+            target = 412.5 + 25.0 * w
+            sid += 1
+            cur.execute(
+                "INSERT INTO SPECTRUM VALUES (?,?,?,?)",
+                (sid, float(rt) + 0.4 + 0.3 * w / N_WIN, f"ms2_{i}_{w}", 2),
+            )
+            cur.execute(
+                "INSERT INTO PRECURSOR VALUES (?,?,?,?)", (sid, target, 12.5, 12.5)
+            )
+            mzs, ints = [], []
+            for c, s, fmz, fin in win_peps[w]:
+                a = np.exp(-0.5 * ((rt - c) / s) ** 2)
+                if a < 0.01:
+                    continue
+                mzs.append(fmz)
+                ints.append(fin * a)
+            n_noise = max(N_PEAKS - (sum(len(m) for m in mzs) if mzs else 0), 50)
+            mzs.append(rng.uniform(100, 1500, n_noise))
+            ints.append(rng.lognormal(1, 1, n_noise))
+            mz2 = np.concatenate(mzs)
+            in2 = np.concatenate(ints)
+            order = np.argsort(mz2)
+            mz2, in2 = mz2[order], in2[order]
+            cur.execute("INSERT INTO DATA VALUES (?,?,?,?)", (sid, 1, 0, _pack(mz2)))
+            cur.execute("INSERT INTO DATA VALUES (?,?,?,?)", (sid, 1, 1, _pack(in2)))
+            total_peaks += len(mz2)
+        if i % 200 == 0:
+            conn.commit()
+            print(f"  cycle {i}/{N_MS1} ({total_peaks/1e6:.1f}M peaks)", flush=True)
+    conn.commit()
+    conn.close()
+    size = os.path.getsize(path) / 1e9
+    print(
+        f"sqMass ready: {path} = {size:.2f} GB, {N_MS1} cycles x {N_WIN} windows, "
+        f"{total_peaks/1e6:.1f}M peaks, {time.perf_counter()-t0:.0f}s",
+        flush=True,
+    )
+
+
+def cmd_gen():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from dquartic_tpu.data.slices import generate_data_slices
+    from dquartic_tpu.data.sqmass import SqMassLoader
+
+    path = f"{ROOT}/run.sqMass"
+    out_dir = f"{ROOT}/slices"
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    loader = SqMassLoader(path)
+    loader.load_all_data()
+    t_load = time.perf_counter() - t0
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(f"load_all_data: {t_load:.1f}s, peak RSS {rss0:.1f} GB", flush=True)
+
+    n_win = min(N_WIN, len(loader.iso_win_info))
+    total_rows = 0
+    for w in range(n_win):
+        t1 = time.perf_counter()
+        rows = generate_data_slices(
+            path,
+            f"{out_dir}/win_{w}.parquet",
+            isolation_window_index=w,
+            window_size=340,
+            sliding_step=100,
+            ms2_fixed_mz_size=30_000,
+            loader=loader,
+        )
+        dt = time.perf_counter() - t1
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        total_rows += rows
+        print(
+            f"window {w}: {rows} slices in {dt:.1f}s "
+            f"({rows/max(dt,1e-9):.2f} rows/s), peak RSS {rss:.1f} GB",
+            flush=True,
+        )
+    wall = time.perf_counter() - t0
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    sizes = sum(
+        os.path.getsize(f"{out_dir}/{f}") for f in os.listdir(out_dir)
+    ) / 1e9
+    print(
+        f"TOTAL: {total_rows} slices over {n_win} windows in {wall:.0f}s, "
+        f"peak RSS {rss:.2f} GB (reference envelope: 800 GB/job), "
+        f"parquet {sizes:.2f} GB -> {out_dir}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if cmd in ("make", "all"):
+        cmd_make()
+    if cmd in ("gen", "all"):
+        cmd_gen()

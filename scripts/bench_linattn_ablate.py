@@ -48,6 +48,7 @@ def main():
         o_ref, m_ref, s_ref, acc_ref, cw_ref,
         *, block_n, seq_len, channels,
         no_exp, no_max, narrow_mask, pin_out, no_ssum, no_slabsm,
+        bf16_proj,
     ):
         phase = pl.program_id(1)
         j = pl.program_id(2)
@@ -63,9 +64,11 @@ def main():
         x_raw = x_ref[0].astype(jnp.float32)
         x = _prenorm(x_raw, gpre_ref[...], channels)
 
+        pd = jnp.bfloat16 if bf16_proj else jnp.float32
+
         @pl.when(phase == 0)
         def _():
-            k = jnp.dot(wk_ref[...].astype(jnp.float32), x,
+            k = jnp.dot(wk_ref[...].astype(pd), x.astype(pd),
                         preferred_element_type=jnp.float32)
             if narrow_mask:
                 col = j * block_n + jax.lax.broadcasted_iota(
@@ -117,7 +120,7 @@ def main():
 
         @pl.when(phase == 1)
         def _():
-            q = jnp.dot(wq_ref[...].astype(jnp.float32), x,
+            q = jnp.dot(wq_ref[...].astype(pd), x.astype(pd),
                         preferred_element_type=jnp.float32)
             if no_slabsm:
                 qn = q * (dim_head**-0.5)
@@ -140,7 +143,7 @@ def main():
 
     def build(N, C, block_n=4096, **flags):
         for f in ("no_exp", "no_max", "narrow_mask", "pin_out", "no_ssum",
-                  "no_slabsm"):
+                  "no_slabsm", "bf16_proj"):
             flags.setdefault(f, False)
         np_ = -(-max(N, block_n) // block_n) * block_n
         nb = np_ // block_n
@@ -205,6 +208,13 @@ def main():
         ("all_vpu_off", dict(no_max=True, no_exp=True, no_ssum=True,
                              no_slabsm=True, narrow_mask=True, pin_out=True)),
         ("pin+narrow", dict(pin_out=True, narrow_mask=True)),
+        ("ship-r4", dict(pin_out=True, narrow_mask=True, no_max=True)),
+        ("bf16_proj", dict(bf16_proj=True)),
+        ("ship+bf16p", dict(pin_out=True, narrow_mask=True, no_max=True,
+                            bf16_proj=True)),
+        ("mxu-only", dict(no_max=True, no_exp=True, no_ssum=True,
+                          no_slabsm=True, narrow_mask=True, pin_out=True,
+                          bf16_proj=True)),
         ("block8192", dict(block_n=8192)),
         ("block2048", dict(block_n=2048)),
     ]

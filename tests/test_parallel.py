@@ -515,3 +515,140 @@ def test_sharded_sampler_int8_kernel_path(monkeypatch):
         qparams, *shard_batch((x_t, ms2, ms1), mesh), num_steps=3
     )
     np.testing.assert_allclose(np.asarray(x0), np.asarray(x0_ref), rtol=2e-4, atol=1e-5)
+
+
+def test_sp_kernel_forward_matches_reference():
+    """Sequence-parallel split-phase linattn kernels (m/z sharded over sp,
+    phase-0 stats psum'd) == the single-device XLA oracle (VERDICT r3
+    next-round #4: sp no longer abandons the Pallas path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dquartic_tpu.ops.linear_attention import (
+        fused_linear_attention_t,
+        linear_attention_nr_reference,
+    )
+
+    C, heads, dim_head = 8, 4, 32
+    rng = np.random.default_rng(0)
+    H = heads * dim_head
+    w_qkv = jnp.asarray(rng.normal(size=(C, 3 * H)).astype(np.float32) * 0.1)
+    w_out = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
+    b_out = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    g_pre = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(4, 1024, C)).astype(np.float32))
+
+    out_ref = linear_attention_nr_reference(
+        x, w_qkv, w_out, b_out, g, g_pre, heads, dim_head
+    )
+
+    for mesh, dp_ax in [
+        (make_mesh(dp=1, sp=2, tp=1, devices=jax.devices()[:2]), None),
+        (make_mesh(dp=2, sp=2, tp=1, devices=jax.devices()[:4]), "dp"),
+    ]:
+        with jax.set_mesh(mesh):
+            xs = jax.device_put(x, NamedSharding(mesh, P(dp_ax, "sp", None)))
+            fn = jax.jit(
+                lambda xx: fused_linear_attention_t(
+                    xx, w_qkv, w_out, b_out, g, heads, dim_head,
+                    g_pre=g_pre, residual=True, sp_axis="sp", dp_axis=dp_ax,
+                )
+            )
+            out = fn(xs)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(out_ref), rtol=3e-4, atol=3e-5
+            )
+
+
+def test_sp_kernel_gradients_match_reference():
+    """All six gradients of the sp split-phase backward (three kernels +
+    psum barriers) vs jax.grad of the composed XLA oracle."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dquartic_tpu.ops.linear_attention import (
+        fused_linear_attention_t,
+        linear_attention_nr_reference,
+    )
+
+    C, heads, dim_head = 8, 2, 16
+    rng = np.random.default_rng(3)
+    H = heads * dim_head
+    w_qkv = jnp.asarray(rng.normal(size=(C, 3 * H)).astype(np.float32) * 0.1)
+    w_out = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
+    b_out = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    g_pre = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 768, C)).astype(np.float32))
+
+    def loss_ref(x, wq, wo, bo, gg, gp):
+        return jnp.sum(
+            linear_attention_nr_reference(x, wq, wo, bo, gg, gp, heads, dim_head) ** 2
+        )
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+        x, w_qkv, w_out, b_out, g, g_pre
+    )
+
+    mesh = make_mesh(dp=2, sp=2, tp=1, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P("dp", "sp", None)))
+
+        def loss_sp(x, wq, wo, bo, gg, gp):
+            return jnp.sum(
+                fused_linear_attention_t(
+                    x, wq, wo, bo, gg, heads, dim_head, g_pre=gp,
+                    residual=True, sp_axis="sp", dp_axis="dp",
+                ) ** 2
+            )
+
+        gf = jax.jit(jax.grad(loss_sp, argnums=(0, 1, 2, 3, 4, 5)))(
+            xs, w_qkv, w_out, b_out, g, g_pre
+        )
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3
+        )
+
+
+def test_sp_model_kernel_path_matches_single_device(monkeypatch):
+    """UNet1d under activation sharding keeps the Pallas linattn path via
+    the sequence-parallel kernels: forward on a dp=2 x sp=2 mesh matches
+    the unsharded model, and a train step produces finite loss/grads
+    (ungated small-shape counterpart of the env-gated full-shape test)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    monkeypatch.setenv("DQUARTIC_LINATTN_MIN_SEQ", "1")
+    kw = dict(TINY_MODEL, downsample_dim=64, linear_attn_impl="pallas_t")
+    model = UNet1d(**kw)
+    model_sp = UNet1d(**kw, activation_sharding=("dp", "sp"))
+    mesh = make_mesh(dp=2, sp=2, tp=1, devices=jax.devices()[:4])
+
+    rng = np.random.default_rng(0)
+    b, rt, mz = 4, 3, 64
+    x = jnp.asarray(rng.normal(size=(b, rt, mz)).astype(np.float32))
+    t = jnp.asarray([3, 9, 7, 1], jnp.int32)
+    ms1 = jnp.asarray(rng.uniform(size=(b, rt)).astype(np.float32))
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, x, ms1)
+    out_ref = jax.jit(model.apply)(params, x, t, x, ms1)
+
+    with jax.set_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P("dp", None, "sp")))
+        out_sp = jax.jit(model_sp.apply)(params, xs, t, xs, ms1)
+        np.testing.assert_allclose(
+            np.asarray(out_sp), np.asarray(out_ref), rtol=1e-5, atol=1e-5
+        )
+
+        def loss(p, xx):
+            return jnp.sum(model_sp.apply(p, xx, t, xx, ms1) ** 2)
+
+        g = jax.jit(jax.grad(loss))(params, xs)
+        gn = sum(float(jnp.sum(l.astype(jnp.float32) ** 2)) for l in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(gn) and gn > 0
+
+    # single-device grads for comparison (kernel bwd both sides)
+    g_ref = jax.jit(jax.grad(lambda p, xx: jnp.sum(model.apply(p, xx, t, xx, ms1) ** 2)))(params, x)
+    for a, bb in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_ref)):
+        a, bb = np.asarray(a), np.asarray(bb)
+        scale = max(float(np.abs(bb).max()), 1.0)
+        np.testing.assert_allclose(a, bb, rtol=2e-3, atol=5e-5 * scale)
