@@ -112,6 +112,7 @@ def train(config_path, parquet_directory, ms2_data_path, ms1_data_path, batch_si
         checkpoint_path=m["checkpoint_path"],
         log_every_n_epochs=config["tpu"]["log_every_n_epochs"],
         checkpoint_every_n_epochs=config["tpu"]["checkpoint_every_n_epochs"],
+        best_every_n_epochs=config["tpu"].get("best_every_n_epochs", 1),
         prediction_hook=prediction_hook,
     )
     if trainer.logger is not None:

@@ -20,6 +20,11 @@ TPU_DEFAULTS: Dict[str, Any] = {
     "attn_impl": "auto",
     "checkpoint_backend": "msgpack",
     "checkpoint_every_n_epochs": 1,
+    # Minimum epoch gap between best-model writes (1 = the reference's
+    # best-on-every-improvement). Raise on hosts with a slow device->host
+    # link: early in training every epoch improves, and a 1.2B best-save
+    # is a ~2.4 GB pull per epoch (train/trainer.py).
+    "best_every_n_epochs": 1,
     "log_every_n_epochs": 100,
     "prefetch": 2,
     "sample_num_steps": 50,

@@ -101,9 +101,12 @@ def cmd_data():
         optimizer="factored",
         fused_resnet=True,
         ema_decay=None,  # EMA doubles resident params (2.4 GB) — off, as benched
-        # checkpoints ride the slow host relay (~40 MB/s for 2.4 GB) —
-        # twice per run is the auto-resume exercise, not a cadence
-        checkpoint_every_n_epochs=int(os.environ.get("CONV_CKPT_EVERY", "40")),
+        # checkpoints ride the slow host relay (~60 s per 2.4 GB pull) —
+        # a sparse cadence is the auto-resume exercise, not a safety net;
+        # best_every_n_epochs gates the reference's best-on-improvement
+        # write, which otherwise fires EVERY epoch early in training
+        checkpoint_every_n_epochs=int(os.environ.get("CONV_CKPT_EVERY", "20")),
+        best_every_n_epochs=int(os.environ.get("CONV_CKPT_EVERY", "20")),
         log_every_n_epochs=10,
     )
     json.dump(c, open(cfg_path, "w"), indent=1)
@@ -131,7 +134,7 @@ def cmd_eval(ckpt=None):
     from dquartic_tpu.utils.config import load_train_config
 
     config = load_train_config(f"{ROOT}/config.json")
-    ckpt = ckpt or f"{ROOT}/dquartic_latest_checkpoint.ckpt"
+    ckpt = ckpt or f"{ROOT}/ckpt/dquartic_latest_checkpoint.ckpt"
     model = build_model(config).clone(fused_resnet=True)
     process = build_process(config)
     payload = load_checkpoint(ckpt)

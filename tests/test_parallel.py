@@ -347,9 +347,11 @@ def test_dp_kernel_path_matches_single_device(monkeypatch):
     mesh = make_mesh(dp=2, tp=1, devices=jax.devices()[:2])
 
     rng = np.random.default_rng(0)
-    b, rt, mz = 4, 3, 32
+    # 2x2 rows: the dp=2 split stays exercised while the interpret-mode
+    # kernel grids (the test-time cost on a 1-core host) shrink 3x
+    b, rt, mz = 2, 2, 32
     x = jnp.asarray(rng.normal(size=(b, rt, mz)).astype(np.float32))
-    t = jnp.asarray([3, 9, 7, 1], jnp.int32)
+    t = jnp.asarray([3, 9], jnp.int32)
     ms1 = jnp.asarray(rng.uniform(size=(b, rt)).astype(np.float32))
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, x, ms1)
@@ -394,7 +396,7 @@ def test_dp_kernel_trainer_step_matches_single_device(monkeypatch):
               linear_attn_impl="pallas_t")
     process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
     sgd = optax.chain(optax.clip_by_global_norm(10.0))
-    batch = make_batch(mz=32)
+    batch = make_batch(b=2, rt=2, mz=32)
     lr = jnp.float32(1e-3)
     rng = jax.random.PRNGKey(7)
 
@@ -624,9 +626,9 @@ def test_sp_model_kernel_path_matches_single_device(monkeypatch):
     mesh = make_mesh(dp=2, sp=2, tp=1, devices=jax.devices()[:4])
 
     rng = np.random.default_rng(0)
-    b, rt, mz = 4, 3, 64
+    b, rt, mz = 2, 2, 64
     x = jnp.asarray(rng.normal(size=(b, rt, mz)).astype(np.float32))
-    t = jnp.asarray([3, 9, 7, 1], jnp.int32)
+    t = jnp.asarray([3, 9], jnp.int32)
     ms1 = jnp.asarray(rng.uniform(size=(b, rt)).astype(np.float32))
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, x, ms1)

@@ -336,3 +336,53 @@ def test_builder_factored_optimizer(tmp_path):
     config["tpu"]["optimizer"] = "nope"
     with pytest.raises(ValueError, match="optimizer kind"):
         build_trainer(config)
+
+
+def test_best_every_n_epochs_gates_best_saves(tmp_path):
+    """best_every_n_epochs defers best-model writes to a cadence (slow
+    host-link platforms); a pending improvement flushes on the cadence
+    epoch and at the final epoch."""
+    import os
+
+    from dquartic_tpu.models import CustomTransformer
+
+    model = CustomTransformer(input_dim=16, hidden_dim=8, num_heads=2, num_layers=1)
+    process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
+    trainer = Trainer(model, process, seed=0, ema_decay=None)
+
+    saves = []
+    orig = trainer._save
+
+    def spy(path, epoch, loss, state):
+        saves.append((os.path.basename(path), epoch))
+        return orig(path, epoch, loss, state)
+
+    trainer._save = spy
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "ms2_1": rng.uniform(0, 1, (2, 4, 16)).astype(np.float32),
+        "ms1_1": rng.uniform(0, 1, (2, 4)).astype(np.float32),
+        "ms2_2": rng.uniform(0, 1, (2, 4, 16)).astype(np.float32),
+        "ms1_2": rng.uniform(0, 1, (2, 4)).astype(np.float32),
+    }
+
+    class Batches:
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            yield batch
+
+    ckpt = str(tmp_path / "best.ckpt")
+    trainer.train(
+        Batches(), epochs=5, warmup_epochs=1, learning_rate=1e-3,
+        checkpoint_path=ckpt, checkpoint_every_n_epochs=2,
+        best_every_n_epochs=3,
+    )
+    best_epochs = [e for name, e in saves if name == "best.ckpt"]
+    # best writes land only on epochs 3 and 5 (cadence + final flush),
+    # regardless of which epochs improved
+    assert all((e + 1) % 3 == 0 or (e + 1) == 5 for e in best_epochs), best_epochs
+    assert best_epochs, "no best checkpoint written"
+    assert os.path.exists(ckpt)
