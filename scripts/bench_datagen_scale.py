@@ -41,6 +41,11 @@ ROOT = os.environ.get("DG_ROOT", "/tmp/datagen_scale")
 N_MS1 = int(os.environ.get("DG_MS1", "2000"))
 N_WIN = int(os.environ.get("DG_WIN", "8"))
 N_PEAKS = int(os.environ.get("DG_PEAKS", "2000"))
+# RT sliding step over the UNION grid (MS1 + 8 per-window MS2 stamps per
+# cycle = 9 * DG_MS1 points): 2000 yields ~8 production-shape slices per
+# isolation window (~45 MB each); the reference's step=5 at this density
+# would emit thousands of overlapping slices per window.
+DG_STEP = int(os.environ.get("DG_STEP", "2000"))
 
 
 def _pack(values):
@@ -161,7 +166,7 @@ def cmd_gen():
             f"{out_dir}/win_{w}.parquet",
             isolation_window_index=w,
             window_size=340,
-            sliding_step=100,
+            sliding_step=DG_STEP,
             ms2_fixed_mz_size=30_000,
             loader=loader,
         )

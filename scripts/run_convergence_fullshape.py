@@ -105,8 +105,13 @@ def cmd_data():
         # a sparse cadence is the auto-resume exercise, not a safety net;
         # best_every_n_epochs gates the reference's best-on-improvement
         # write, which otherwise fires EVERY epoch early in training
-        checkpoint_every_n_epochs=int(os.environ.get("CONV_CKPT_EVERY", "20")),
-        best_every_n_epochs=int(os.environ.get("CONV_CKPT_EVERY", "20")),
+        checkpoint_every_n_epochs=int(os.environ.get("CONV_CKPT_EVERY", "50")),
+        # best defaults to a final-epoch flush only: a second 2.4 GB pull
+        # per cadence point doubles the save wall for no extra safety
+        # (latest already carries the resume state)
+        best_every_n_epochs=int(
+            os.environ.get("CONV_BEST_EVERY", os.environ.get("CONV_EPOCHS", "120"))
+        ),
         log_every_n_epochs=10,
     )
     json.dump(c, open(cfg_path, "w"), indent=1)
@@ -138,7 +143,7 @@ def cmd_eval(ckpt=None):
     model = build_model(config).clone(fused_resnet=True)
     process = build_process(config)
     payload = load_checkpoint(ckpt)
-    params = payload["params"]
+    params = payload["state"]["params"]
     print(f"checkpoint: {ckpt} (epoch {payload.get('epoch')})")
 
     ms2 = np.load(f"{ROOT}/ms2.npy")

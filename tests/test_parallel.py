@@ -654,3 +654,39 @@ def test_sp_model_kernel_path_matches_single_device(monkeypatch):
         a, bb = np.asarray(a), np.asarray(bb)
         scale = max(float(np.abs(bb).max()), 1.0)
         np.testing.assert_allclose(a, bb, rtol=2e-3, atol=5e-5 * scale)
+
+
+def test_sp_kernel_bf16_close_to_f32():
+    """The sp split-phase kernels in bf16 stay within bf16 rounding of
+    their own f32 result (mirrors the single-device bf16 drift test)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dquartic_tpu.ops.linear_attention import fused_linear_attention_t
+
+    C, heads, dim_head = 8, 4, 32
+    rng = np.random.default_rng(5)
+    H = heads * dim_head
+    w_qkv = jnp.asarray(rng.normal(size=(C, 3 * H)).astype(np.float32) * 0.1)
+    w_out = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
+    b_out = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    g_pre = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 512, C)).astype(np.float32))
+
+    mesh = make_mesh(dp=1, sp=2, tp=1, devices=jax.devices()[:2])
+    with jax.set_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "sp", None)))
+
+        def run(xx):
+            return fused_linear_attention_t(
+                xx, w_qkv, w_out, b_out, g, heads, dim_head,
+                g_pre=g_pre, residual=True, sp_axis="sp",
+            )
+
+        out32 = jax.jit(run)(xs)
+        outbf = jax.jit(
+            lambda xx: run(xx.astype(jnp.bfloat16)).astype(jnp.float32)
+        )(xs)
+    scale = float(jnp.max(jnp.abs(out32)))
+    err = float(jnp.max(jnp.abs(outbf - np.asarray(out32))))
+    assert err < 0.05 * scale, (err, scale)
