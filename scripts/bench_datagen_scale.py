@@ -46,6 +46,10 @@ N_PEAKS = int(os.environ.get("DG_PEAKS", "2000"))
 # isolation window (~45 MB each); the reference's step=5 at this density
 # would emit thousands of overlapping slices per window.
 DG_STEP = int(os.environ.get("DG_STEP", "2000"))
+# m/z bin count for the MS2 slices. The reference uses 30000
+# (run_data_gen.sh); 30016 produces slices the 7-level UNet1d consumes
+# without padding (divisibility contract, models/unet1d.py).
+DG_MZ = int(os.environ.get("DG_MZ", "30000"))
 
 
 def _pack(values):
@@ -167,7 +171,7 @@ def cmd_gen():
             isolation_window_index=w,
             window_size=340,
             sliding_step=DG_STEP,
-            ms2_fixed_mz_size=30_000,
+            ms2_fixed_mz_size=DG_MZ,
             loader=loader,
         )
         dt = time.perf_counter() - t1
