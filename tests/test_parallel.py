@@ -364,16 +364,19 @@ def test_dp_kernel_path_matches_single_device(monkeypatch):
 
     with jax.set_mesh(mesh):
         xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
-        fwd = jax.jit(model_dp.apply)
-        out_dp = fwd(params, xs, t, xs, ms1)
+        # AOT style: lower ONCE, reuse the compiled object for both the
+        # HLO-text assertion and execution (interpret-mode Pallas inlines
+        # the kernels into the jaxpr, so each extra lowering costs seconds
+        # of MLIR work on the 1-core test host).
+        fwd_c = jax.jit(model_dp.apply).lower(params, xs, t, xs, ms1).compile()
+        out_dp = fwd_c(params, xs, t, xs, ms1)
         np.testing.assert_allclose(
             np.asarray(out_dp), np.asarray(out_ref), rtol=1e-5, atol=1e-5
         )
-        hlo_f = fwd.lower(params, xs, t, xs, ms1).compile().as_text()
-        assert not re.findall(r"all-gather", hlo_f)
+        assert not re.findall(r"all-gather", fwd_c.as_text())
 
-        gfn = jax.jit(jax.grad(loss_fn(model_dp)))
-        g_dp = gfn(params, xs)
+        gfn_c = jax.jit(jax.grad(loss_fn(model_dp))).lower(params, xs).compile()
+        g_dp = gfn_c(params, xs)
         for a, bb in zip(
             jax.tree_util.tree_leaves(g_dp), jax.tree_util.tree_leaves(g_ref)
         ):
@@ -382,8 +385,7 @@ def test_dp_kernel_path_matches_single_device(monkeypatch):
             # absolute at the scale of the leaf, not of each element.
             scale = max(float(np.abs(bb).max()), 1.0)
             np.testing.assert_allclose(a, bb, rtol=2e-3, atol=5e-5 * scale)
-        hlo_g = gfn.lower(params, xs).compile().as_text()
-        assert not re.findall(r"all-gather", hlo_g)
+        assert not re.findall(r"all-gather", gfn_c.as_text())
 
 
 def test_dp_kernel_trainer_step_matches_single_device(monkeypatch):
@@ -392,7 +394,12 @@ def test_dp_kernel_trainer_step_matches_single_device(monkeypatch):
     import optax
 
     monkeypatch.setenv("DQUARTIC_LINATTN_MIN_SEQ", "1")
-    kw = dict(TINY_MODEL, downsample_dim=32, fused_resnet=True,
+    # One level: the dp-routing semantics under the Trainer are
+    # level-count-independent (level transitions are covered by
+    # test_dp_kernel_path_matches_single_device above), and each extra
+    # level doubles the interpret-mode Pallas jaxpr this test lowers
+    # four times (two trainers x init+step).
+    kw = dict(TINY_MODEL, dim_mults=(1,), downsample_dim=32, fused_resnet=True,
               linear_attn_impl="pallas_t")
     process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
     sgd = optax.chain(optax.clip_by_global_norm(10.0))
