@@ -68,7 +68,7 @@ def test_unet_param_count_independent_of_rt():
 def test_unet_2d_ms1_condition():
     cfg = dict(TINY)
     model, params, (x, t, ic, ac) = init_unet(cfg, ms1_2d=True)
-    out = model.apply(params, x, t, ic, ac)
+    out = jax.jit(model.apply)(params, x, t, ic, ac)
     assert out.shape == x.shape
 
 
@@ -77,15 +77,15 @@ def test_unet_unconditional():
     model = UNet1d(**cfg)
     x = jnp.ones((1, 4, 32))
     t = jnp.zeros((1,), jnp.int32)
-    params = model.init(jax.random.PRNGKey(0), x, t)
-    out = model.apply(params, x, t)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t)
+    out = jax.jit(model.apply)(params, x, t)
     assert out.shape == x.shape
 
 
 def test_unet_nonsimple_path():
     cfg = dict(TINY, simple=False, tfer_depth=2)
     model, params, (x, t, ic, ac) = init_unet(cfg)
-    out = model.apply(params, x, t, ic, ac)
+    out = jax.jit(model.apply)(params, x, t, ic, ac)
     assert out.shape == x.shape
 
 
@@ -213,18 +213,19 @@ def test_custom_transformer_shapes():
     x = jnp.ones((2, 6, 64))
     t = jnp.zeros((2,), jnp.int32)
     ms1 = jnp.ones((2, 6))
-    params = m.init(jax.random.PRNGKey(0), x, t, None, ms1)
-    out = m.apply(params, x, t, None, ms1)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x, t, None, ms1)
+    japply = jax.jit(m.apply)
+    out = japply(params, x, t, None, ms1)
     assert out.shape == x.shape
     # conditioning must matter
-    out2 = m.apply(params, x, t, None, ms1 * 5.0)
+    out2 = japply(params, x, t, None, ms1 * 5.0)
     assert not np.allclose(np.asarray(out), np.asarray(out2))
 
 
 def test_unet_bf16_compute():
     cfg = dict(TINY, dtype=jnp.bfloat16)
     model, params, (x, t, ic, ac) = init_unet(cfg)
-    out = model.apply(params, x, t, ic, ac)
+    out = jax.jit(model.apply)(params, x, t, ic, ac)
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
 
 
