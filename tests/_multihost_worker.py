@@ -56,8 +56,12 @@ def main():
     from dquartic_tpu.train import Trainer
 
     mesh = make_mesh(dp=num_procs, devices=jax.devices())
+    # One level: the multihost semantics under test (per-process feeding,
+    # cross-process grad reduction, process-0 checkpoint guard) are
+    # level-count-independent, and both processes compile the step
+    # program uncached on one core — halving the program halves the test.
     model = UNet1d(
-        dim=4, channels=1, dim_mults=(1, 2), conditional=True,
+        dim=4, channels=1, dim_mults=(1,), conditional=True,
         init_cond_channels=1, attn_cond_channels=1, downsample_dim=16,
     )
     process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
