@@ -360,7 +360,16 @@ def test_dp_kernel_path_matches_single_device(monkeypatch):
     def loss_fn(m):
         return lambda p, xx: jnp.sum(m.apply(p, xx, t, xx, ms1) ** 2)
 
-    g_ref = jax.jit(jax.grad(loss_fn(model)))(params, x)
+    # Gradient check on a ONE-level model: the backward programs are ~3x
+    # the forward to lower/compile (recompute custom_vjps double the
+    # inlined interpret-mode kernels), and the dp grad routing is
+    # level-count-independent — level transitions are covered by the
+    # 2-level forward below.
+    kw1 = dict(kw, dim_mults=(1,))
+    model1 = UNet1d(**kw1)
+    model1_dp = UNet1d(**kw1, kernel_dp_axis="dp")
+    params1 = jax.jit(model1.init)(jax.random.PRNGKey(0), x, t, x, ms1)
+    g_ref = jax.jit(jax.grad(loss_fn(model1)))(params1, x)
 
     with jax.set_mesh(mesh):
         xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
@@ -375,8 +384,8 @@ def test_dp_kernel_path_matches_single_device(monkeypatch):
         )
         assert not re.findall(r"all-gather", fwd_c.as_text())
 
-        gfn_c = jax.jit(jax.grad(loss_fn(model_dp))).lower(params, xs).compile()
-        g_dp = gfn_c(params, xs)
+        gfn_c = jax.jit(jax.grad(loss_fn(model1_dp))).lower(params1, xs).compile()
+        g_dp = gfn_c(params1, xs)
         for a, bb in zip(
             jax.tree_util.tree_leaves(g_dp), jax.tree_util.tree_leaves(g_ref)
         ):
