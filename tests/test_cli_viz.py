@@ -10,8 +10,9 @@ from click.testing import CliRunner
 from dquartic_tpu.cli import cli
 
 
-@pytest.fixture
-def tiny_config(tmp_path):
+@pytest.fixture(scope="module")
+def tiny_config(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("cli")
     rng = np.random.default_rng(0)
     ms2 = rng.uniform(0, 10, size=(6, 4, 16)).astype(np.float32)
     ms1 = rng.uniform(0, 5, size=(6, 4)).astype(np.float32)
@@ -99,12 +100,20 @@ def test_reference_config_loads_unchanged(tmp_path):
     assert loaded["data"]["ms2_data_path"] is None
 
 
-def test_cli_train_and_predict(tiny_config):
+@pytest.fixture(scope="module")
+def trained_ckpt(tiny_config):
+    """One CLI `train` shared by the predict tests (each train is a full
+    jitted-step compile on the 1-core host)."""
+    config_path, tmp_path = tiny_config
+    res = CliRunner().invoke(cli, ["train", str(config_path)])
+    assert res.exit_code == 0, res.output
+    return tmp_path / "ckpt" / "best_model.ckpt"
+
+
+def test_cli_train_and_predict(tiny_config, trained_ckpt):
     config_path, tmp_path = tiny_config
     runner = CliRunner()
-    res = runner.invoke(cli, ["train", str(config_path)])
-    assert res.exit_code == 0, res.output
-    ckpt = tmp_path / "ckpt" / "best_model.ckpt"
+    ckpt = trained_ckpt
     assert ckpt.exists()
     assert (tmp_path / "ckpt" / "dquartic_latest_checkpoint.ckpt").exists()
 
@@ -310,7 +319,7 @@ def test_cli_generate_train_data(tmp_path):
     assert table.num_rows > 0
 
 
-def test_cli_predict_dp_mesh(tiny_config):
+def test_cli_predict_dp_mesh(tiny_config, trained_ckpt):
     """predict under a tpu.mesh config shards prediction batches over dp
     (kernel_dp_axis path) through the product surface."""
     import jax
@@ -319,9 +328,7 @@ def test_cli_predict_dp_mesh(tiny_config):
         pytest.skip("needs 2 virtual devices")
     config_path, tmp_path = tiny_config
     runner = CliRunner()
-    res = runner.invoke(cli, ["train", str(config_path)])
-    assert res.exit_code == 0, res.output
-    ckpt = tmp_path / "ckpt" / "best_model.ckpt"
+    ckpt = trained_ckpt
 
     cfg = json.loads(config_path.read_text())
     cfg["tpu"]["mesh"] = {"dp": 2, "sp": 1, "tp": 1}
