@@ -101,8 +101,18 @@ def test_unet_canonical_mult_pattern_shapes():
         downsample_dim=640,
         simple=True,
     )
-    model, params, (x, t, ic, ac) = init_unet(cfg, b=1, rt=4, mz=320)
-    out = jax.jit(model.apply)(params, x, t, ic, ac)
+    # Trace-only: the 7-level shape contract (downsampled_n bookkeeping,
+    # skip concat dims) is fully checked by abstract evaluation; actually
+    # compiling the 7-level program costs ~17 s on this host while
+    # numerics at canonical depth are exercised on-TPU (BENCH_NOTES
+    # convergence runs) and at 2 levels throughout this suite.
+    model = UNet1d(**cfg)
+    b, rt, mz = 1, 4, 320
+    x = jax.ShapeDtypeStruct((b, rt, mz), jnp.float32)
+    t = jax.ShapeDtypeStruct((b,), jnp.int32)
+    ac = jax.ShapeDtypeStruct((b, rt), jnp.float32)
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t, x, ac)
+    out = jax.eval_shape(model.apply, params, x, t, x, ac)
     assert out.shape == (1, 4, 320)
 
 

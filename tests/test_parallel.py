@@ -279,7 +279,9 @@ def test_dp_sp_tp_mesh_with_activation_sharding(tmp_path):
     model_plain = UNet1d(**TINY_MODEL)
     process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
     sgd = optax.chain(optax.clip_by_global_norm(10.0))
-    batch = make_batch(b=2)
+    # b=4 matches test_dp_tp_train_step's shapes exactly, so the
+    # single-device reference step below is a compile-cache hit.
+    batch = make_batch(b=4)
 
     t_single = Trainer(model_plain, process, optimizer=sgd, seed=0)
     s0 = t_single.init_state(batch)
@@ -308,9 +310,9 @@ def test_dp_sp_tp_mesh_with_activation_sharding(tmp_path):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     x = jnp.asarray(batch["ms2_1"])
-    t = jnp.zeros((2,), jnp.int32)
+    t = jnp.zeros((x.shape[0],), jnp.int32)
     ac = jnp.asarray(batch["ms1_1"])
-    out_plain = model_plain.apply(s1.params, x, t, x, ac)
+    out_plain = jax.jit(model_plain.apply)(s1.params, x, t, x, ac)
     with jax.set_mesh(mesh):
         args = tuple(
             jax.device_put(a, NamedSharding(mesh, P("dp"))) for a in (x, t, x, ac)
