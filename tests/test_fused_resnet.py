@@ -210,8 +210,14 @@ def test_unet_fused_grads_match_unfused():
     *training* configuration."""
     from dquartic_tpu.models import UNet1d
 
+    # One level: per-op gradient parity across dims is covered by
+    # test_kernel_grads_match_oracle, and forward parity at two levels by
+    # test_unet_fused_path_matches_unfused; the model-level property here
+    # (grads flow through the recompute custom_vjp in situ) is
+    # level-count-independent, and each level doubles the backward
+    # program this test lowers twice on the 1-core host.
     kw = dict(
-        dim=4, channels=1, dim_mults=(1, 2), conditional=True,
+        dim=4, channels=1, dim_mults=(1,), conditional=True,
         init_cond_channels=1, attn_cond_channels=1, downsample_dim=32,
         simple=True,
     )
@@ -252,8 +258,9 @@ def test_unet_fused_train_step():
     from dquartic_tpu.models import UNet1d
     from dquartic_tpu.train import Trainer
 
+    # One level (see test_unet_fused_grads_match_unfused for why).
     model = UNet1d(
-        dim=4, channels=1, dim_mults=(1, 2), conditional=True,
+        dim=4, channels=1, dim_mults=(1,), conditional=True,
         init_cond_channels=1, attn_cond_channels=1, downsample_dim=32,
         simple=True, fused_resnet=True,
     )
