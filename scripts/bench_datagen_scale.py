@@ -15,7 +15,13 @@ Stages (argv[1]):
            Gaussians x fragment m/z clusters, peak-picked spectra)
   gen    — run generate_data_slices per isolation window; print
            rows/s, wall, peak RSS
-  all    — both
+  train  — stream the generated parquet into a REAL training run: the
+           actual `cli train` entry point, production-shape model
+           (340 x DG_MZ), shipping training config (bf16 + fused_resnet
+           + remat mid blocks + factored second moment, bs1). Two
+           epochs; epoch-2 wall (stdout-timestamped — no compile and no
+           checkpoint I/O inside it) is the steady-state figure.
+  all    — make + gen
 
 Scale knobs (env): DG_MS1 (MS1 spectra, default 2000), DG_WIN (isolation
 windows, default 8), DG_PEAKS (peaks per MS2 spectrum, default 2000).
@@ -195,9 +201,97 @@ def cmd_gen():
     )
 
 
+def cmd_train():
+    """Feed the generated parquet to the real `cli train` path
+    (VERDICT r3 next-round #5, second half: "stream the output parquet
+    into a real training run").
+
+    Epoch accounting from stdout timestamps: the trainer prints the
+    `[Training] Epoch=N` line after the epoch's steps and BEFORE any
+    checkpoint write, and epoch 1's cadence gates (checkpoint_every=2,
+    best_every=2, neither final) skip all saves — so
+    t(Epoch=2) - t(Epoch=1) is pure steady-state epoch wall: host
+    parquet streaming + prefetch + H2D + train steps, no compile, no
+    checkpoint I/O."""
+    import json
+    import re
+    import subprocess
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from dquartic_tpu.utils.config import generate_train_config
+
+    if DG_MZ % 64:
+        raise SystemExit(f"DG_MZ={DG_MZ} must divide the 7-level stride 64 (use 30016)")
+    cfg_path = f"{ROOT}/pqtrain_config.json"
+    generate_train_config(cfg_path)
+    c = json.load(open(cfg_path))
+    c["data"].update(
+        parquet_directory=f"{ROOT}/slices",
+        ms2_data_path=None,
+        ms1_data_path=None,
+    )
+    c["model"].update(
+        num_epochs=2,
+        warmup_epochs=0,
+        batch_size=1,
+        learning_rate=1e-4,
+        checkpoint_path=f"{ROOT}/ckpt/best.ckpt",
+    )
+    # production-shape canonical model + the shipping training recipe
+    # (the exact config scripts/bench_fullres.py benches at 375 ms/step)
+    c["model"]["UNet1d"]["downsample_dim"] = DG_MZ
+    c["model"]["UNet1d"]["remat_blocks"] = True
+    c["wandb"]["use_wandb"] = False
+    c["tpu"].update(
+        compute_dtype="bfloat16",
+        optimizer="factored",
+        fused_resnet=True,
+        ema_decay=None,
+        checkpoint_every_n_epochs=2,
+        best_every_n_epochs=2,
+    )
+    json.dump(c, open(cfg_path, "w"), indent=1)
+    os.makedirs(f"{ROOT}/ckpt", exist_ok=True)
+
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dquartic_jax_cache")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "dquartic_tpu.cli", "train", cfg_path],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        env=env,
+    )
+    t0 = time.perf_counter()
+    epoch_t, steps = {}, None
+    for line in proc.stdout:
+        now = time.perf_counter() - t0
+        print(f"[{now:8.1f}s] {line}", end="", flush=True)
+        m = re.search(r"\[Training\] Epoch=(\d+)", line)
+        if m:
+            epoch_t[int(m.group(1))] = now
+        m = re.search(r"Loaded (\d+) MS2/MS1 slice samples", line)
+        if m:
+            steps = int(m.group(1))  # bs1, drop_last => steps/epoch
+    proc.wait()
+    if proc.returncode:
+        raise SystemExit(f"cli train failed rc={proc.returncode}")
+    if 1 in epoch_t and 2 in epoch_t and steps:
+        e2 = epoch_t[2] - epoch_t[1]
+        print(
+            f"PQTRAIN: {steps} steps/epoch at (340, {DG_MZ}); epoch-1 "
+            f"(incl. compile) {epoch_t[1]:.0f}s; steady-state epoch-2 "
+            f"{e2:.1f}s = {1000*e2/steps:.0f} ms/step wall "
+            f"(host parquet streaming + prefetch + H2D + train step)",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "all"
     if cmd in ("make", "all"):
         cmd_make()
     if cmd in ("gen", "all"):
         cmd_gen()
+    if cmd == "train":
+        cmd_train()
