@@ -35,11 +35,19 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    # NO persistent compile cache here, deliberately: with a shared cache
-    # one process can hit while the other compiles (>30 s on this 1-core
-    # host), and the desync blows Gloo's 30 s GetKeyValue rendezvous
-    # deadline (measured: flaky DEADLINE_EXCEEDED). Symmetric compiles
-    # keep the processes in sync.
+    # Persistent compile cache, but PER-PROCESS directories: a SHARED
+    # cache desyncs the pair (one process misses and compiles >30 s while
+    # the other hits its freshly written entry), blowing Gloo's 30 s
+    # GetKeyValue rendezvous deadline (measured: flaky DEADLINE_EXCEEDED).
+    # Separate dirs keep the processes symmetric — both miss on the first
+    # suite run, both hit on warm runs — and cut the test's warm cost.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", f"/tmp/dquartic_jax_cache_mh{pid}"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator, num_processes=num_procs, process_id=pid
     )

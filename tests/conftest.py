@@ -44,7 +44,9 @@ try:
         "jax_compilation_cache_dir",
         os.environ.get("JAX_CACHE_DIR", "/tmp/dquartic_jax_cache"),
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # 0.0: cache EVERY compiled program — the suite compiles hundreds of
+    # sub-second programs whose recompiles otherwise add up on warm runs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:
     pass
 

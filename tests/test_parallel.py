@@ -652,6 +652,16 @@ def test_sp_model_kernel_path_matches_single_device(monkeypatch):
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, x, ms1)
     out_ref = jax.jit(model.apply)(params, x, t, x, ms1)
 
+    # Gradient check on a ONE-level model (same rationale as the dp
+    # kernel test above: backward programs are ~3x the forward to
+    # lower on the 1-core host and the sp grad routing is
+    # level-count-independent; level transitions are covered by the
+    # 2-level forward).
+    kw1 = dict(kw, dim_mults=(1,))
+    model1 = UNet1d(**kw1)
+    model1_sp = UNet1d(**kw1, activation_sharding=("dp", "sp"))
+    params1 = jax.jit(model1.init)(jax.random.PRNGKey(0), x, t, x, ms1)
+
     with jax.set_mesh(mesh):
         xs = jax.device_put(x, NamedSharding(mesh, P("dp", None, "sp")))
         out_sp = jax.jit(model_sp.apply)(params, xs, t, xs, ms1)
@@ -660,14 +670,14 @@ def test_sp_model_kernel_path_matches_single_device(monkeypatch):
         )
 
         def loss(p, xx):
-            return jnp.sum(model_sp.apply(p, xx, t, xx, ms1) ** 2)
+            return jnp.sum(model1_sp.apply(p, xx, t, xx, ms1) ** 2)
 
-        g = jax.jit(jax.grad(loss))(params, xs)
+        g = jax.jit(jax.grad(loss))(params1, xs)
         gn = sum(float(jnp.sum(l.astype(jnp.float32) ** 2)) for l in jax.tree_util.tree_leaves(g))
         assert np.isfinite(gn) and gn > 0
 
     # single-device grads for comparison (kernel bwd both sides)
-    g_ref = jax.jit(jax.grad(lambda p, xx: jnp.sum(model.apply(p, xx, t, xx, ms1) ** 2)))(params, x)
+    g_ref = jax.jit(jax.grad(lambda p, xx: jnp.sum(model1.apply(p, xx, t, xx, ms1) ** 2)))(params1, x)
     for a, bb in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_ref)):
         a, bb = np.asarray(a), np.asarray(bb)
         scale = max(float(np.abs(bb).max()), 1.0)

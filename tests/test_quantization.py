@@ -41,6 +41,17 @@ def _init():
     return _INIT_CACHE[0]
 
 
+_JAPPLY_CACHE = []
+
+
+def _japply():
+    # likewise: ONE jitted apply traced once for the whole module
+    if not _JAPPLY_CACHE:
+        model, _, _ = _init()
+        _JAPPLY_CACHE.append(jax.jit(model.apply))
+    return _JAPPLY_CACHE[0]
+
+
 def test_roundtrip_error_small():
     rng = np.random.default_rng(0)
     w = jnp.asarray(rng.normal(size=(3, 64, 128)).astype(np.float32))
@@ -67,7 +78,7 @@ def test_model_size_shrinks_and_output_close():
     assert packed < raw * 0.65  # bottleneck weights dominate -> big shrink
 
     deq = dequantize_params(q)
-    japply = jax.jit(model.apply)
+    japply = _japply()
     out_ref = japply(params, *args)
     out_q = japply(deq, *args)
     ref = np.asarray(out_ref)
@@ -84,7 +95,7 @@ def test_apply_quantized_lazy_dequant():
 
     model, params, args = _init()
     q = quantize_params(params, min_size=1024)
-    out_explicit = jax.jit(model.apply)(dequantize_params(q), *args)
+    out_explicit = _japply()(dequantize_params(q), *args)
     out_lazy = jax.jit(lambda qp, *a: apply_quantized(model, qp, *a))(q, *args)
     np.testing.assert_allclose(
         np.asarray(out_lazy), np.asarray(out_explicit), rtol=1e-5, atol=1e-5

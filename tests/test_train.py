@@ -27,8 +27,19 @@ TINY_MODEL = dict(
 )
 
 
+@pytest.fixture(scope="module")
+def shared_trainer():
+    """One Trainer per module: its jitted init/train-step programs trace
+    once and every test reuses them (tracing dominates suite time on the
+    1-core host; the tests here check loop/checkpoint semantics, not
+    trainer construction)."""
+    model = UNet1d(**TINY_MODEL)
+    process = DDIMProcess(schedule=make_schedule(20, "cosine", "eps"))
+    return Trainer(model, process, seed=0)
+
+
 @pytest.fixture
-def tiny_setup(tmp_path):
+def tiny_setup(tmp_path, shared_trainer):
     rng = np.random.default_rng(0)
     ms2 = rng.uniform(0, 10, size=(8, 4, 16)).astype(np.float32)
     ms1 = rng.uniform(0, 5, size=(8, 4)).astype(np.float32)
@@ -38,10 +49,8 @@ def tiny_setup(tmp_path):
         ms2_file=str(tmp_path / "ms2.npy"), ms1_file=str(tmp_path / "ms1.npy"), normalize="minmax"
     )
     batches = PairBatches(ds, batch_size=2)
-    model = UNet1d(**TINY_MODEL)
-    process = DDIMProcess(schedule=make_schedule(20, "cosine", "eps"))
-    trainer = Trainer(model, process, seed=0)
-    return trainer, batches, tmp_path
+    shared_trainer.callback_handler = CallbackHandler()  # undo test mutations
+    return shared_trainer, batches, tmp_path
 
 
 def test_warmup_cosine_matches_reference_lambda():
@@ -80,9 +89,11 @@ def test_train_resume(tiny_setup):
     ckpt = str(tmp_path / "ckpt" / "best_model.ckpt")
     trainer.train(batches, epochs=2, warmup_epochs=0, learning_rate=1e-3, checkpoint_path=ckpt)
 
-    # Second call resumes at epoch 2 and runs 2 more
-    trainer2 = Trainer(trainer.model, trainer.process, seed=0)
-    state = trainer2.train(
+    # Second call resumes at epoch 2 and runs 2 more. train() always
+    # re-inits from the dataset example and restores from DISK via
+    # restore_or_init, so reusing the trainer object exercises the same
+    # resume protocol a fresh process would (and skips a retrace).
+    state = trainer.train(
         batches, epochs=4, warmup_epochs=0, learning_rate=1e-3, checkpoint_path=ckpt
     )
     payload = load_checkpoint(latest_path_for(ckpt))
@@ -154,7 +165,7 @@ def test_sampler_and_predict(tiny_setup):
     )
 
 
-def test_loss_decreases_on_constant_target(tmp_path):
+def test_loss_decreases_on_constant_target(tmp_path, shared_trainer):
     """Overfit check: with a fixed tiny dataset the loss should drop."""
 
     class FixedBatches:
@@ -175,9 +186,7 @@ def test_loss_decreases_on_constant_target(tmp_path):
         "ms2_2": rng.uniform(0, 1, (2, 4, 16)).astype(np.float32),
         "ms1_2": rng.uniform(0, 1, (2, 4)).astype(np.float32),
     }
-    model = UNet1d(**TINY_MODEL)
-    process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
-    trainer = Trainer(model, process, seed=0)
+    trainer = shared_trainer
 
     losses = []
 
@@ -204,25 +213,42 @@ def test_orbax_checkpoint_backend(tiny_setup, tmp_path):
     assert os.path.exists(ckpt)  # best
     assert os.path.exists(trainer_o._orbax.latest_path_for(ckpt))
 
-    # resume: one more epoch continues the counter
-    trainer_o2 = Trainer(trainer.model, trainer.process, seed=0, checkpoint_backend="orbax")
+    # resume: one more epoch continues the counter (restore is from disk
+    # via restore_or_init, so trainer reuse exercises the same protocol
+    # and skips a retrace)
+    trainer_o2 = trainer_o
     state = trainer_o2.train(
         batches, epochs=2, warmup_epochs=0, learning_rate=1e-3, checkpoint_path=ckpt
     )
     assert int(state.step) == 2 * len(batches)
 
 
-def test_custom_transformer_trainer_e2e(tmp_path):
-    """The legacy denoiser trains through the same runtime."""
+@pytest.fixture(scope="module")
+def shared_ct_trainer():
+    """Module-scoped CustomTransformer trainer (same trace-once rationale
+    as shared_trainer)."""
     from dquartic_tpu.models import CustomTransformer
 
+    model = CustomTransformer(input_dim=16, hidden_dim=8, num_heads=2, num_layers=1)
+    process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
+    return Trainer(model, process, seed=0, ema_decay=None)
+
+
+def _ct_batch():
     rng = np.random.default_rng(0)
-    batch = {
-        "ms2_1": rng.uniform(0, 1, (2, 4, 32)).astype(np.float32),
+    return {
+        "ms2_1": rng.uniform(0, 1, (2, 4, 16)).astype(np.float32),
         "ms1_1": rng.uniform(0, 1, (2, 4)).astype(np.float32),
-        "ms2_2": rng.uniform(0, 1, (2, 4, 32)).astype(np.float32),
+        "ms2_2": rng.uniform(0, 1, (2, 4, 16)).astype(np.float32),
         "ms1_2": rng.uniform(0, 1, (2, 4)).astype(np.float32),
     }
+
+
+def test_custom_transformer_trainer_e2e(tmp_path, shared_ct_trainer):
+    """The legacy denoiser trains through the same runtime."""
+    trainer = shared_ct_trainer
+    trainer.callback_handler = CallbackHandler()
+    batch = _ct_batch()
 
     class Batches:
         def __len__(self):
@@ -232,17 +258,14 @@ def test_custom_transformer_trainer_e2e(tmp_path):
             yield batch
             yield batch
 
-    model = CustomTransformer(input_dim=32, hidden_dim=16, num_heads=2, num_layers=1)
-    process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
-    trainer = Trainer(model, process, seed=0)
     state = trainer.train(
         Batches(), epochs=2, warmup_epochs=1, learning_rate=1e-3,
         checkpoint_path=str(tmp_path / "ct" / "m.ckpt"),
     )
     assert int(state.step) == 4
 
-    sampler = DDIMSampler(model, process)
-    x_t = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 32))
+    sampler = DDIMSampler(trainer.model, trainer.process)
+    x_t = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16))
     ms2 = jnp.asarray(batch["ms2_1"][:1])
     ms1 = jnp.asarray(batch["ms1_1"][:1])
     out, _ = sampler.sample(state.params, x_t, ms2, ms1, num_steps=3)
@@ -338,17 +361,14 @@ def test_builder_factored_optimizer(tmp_path):
         build_trainer(config)
 
 
-def test_best_every_n_epochs_gates_best_saves(tmp_path):
+def test_best_every_n_epochs_gates_best_saves(tmp_path, shared_ct_trainer):
     """best_every_n_epochs defers best-model writes to a cadence (slow
     host-link platforms); a pending improvement flushes on the cadence
     epoch and at the final epoch."""
     import os
 
-    from dquartic_tpu.models import CustomTransformer
-
-    model = CustomTransformer(input_dim=16, hidden_dim=8, num_heads=2, num_layers=1)
-    process = DDIMProcess(schedule=make_schedule(10, "cosine", "eps"))
-    trainer = Trainer(model, process, seed=0, ema_decay=None)
+    trainer = shared_ct_trainer
+    trainer.callback_handler = CallbackHandler()
 
     saves = []
     orig = trainer._save
