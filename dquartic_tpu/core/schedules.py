@@ -74,11 +74,30 @@ def make_schedule(
     num_timesteps: int = 1000,
     schedule_type: str = "cosine",
     pred_type: str = "eps",
+    weighting: str = "reference",
 ) -> DiffusionSchedule:
     """Build a :class:`DiffusionSchedule`.
 
     Mirrors DDIMDiffusionModel.__init__ (reference model.py:196-213): the
     f64 beta table is cast to f32 *before* alphas/alpha_bars are derived.
+
+    ``weighting`` selects the per-timestep loss weight:
+
+    * ``"reference"`` — the reference's SNR rule (model.py:204-213):
+      ones for eps-prediction, raw snr for x0-prediction. The raw-snr
+      x0 weight spans ~2.4e4 (t=0) to ~2.4e-9 (t=999) on the cosine
+      schedule — a t=0 sample outweighs a t=999 sample by 10^13, so
+      x0 training under it is numerically dominated by near-clean
+      timesteps.
+    * ``"uniform"`` — ones for either pred_type. For x0-prediction this
+      weights every timestep's *reconstruction* equally, which shifts
+      the objective's mass toward high-t where only the conditioning
+      signal (not x_t) can identify the target — the standard lever for
+      conditioning uptake when the conditions are strongly informative.
+    * ``"min_snr:G"`` — Min-SNR-gamma (Hang et al. 2023): the x0-space
+      weight min(snr, G), i.e. min(snr, G)/snr for eps-prediction and
+      min(snr, G) for x0-prediction. Caps the low-t blowup of the raw
+      snr rule while keeping the reference's high-t behavior.
     """
     if schedule_type == "linear":
         betas = linear_beta_schedule(num_timesteps)
@@ -91,13 +110,22 @@ def make_schedule(
     alphas = get_alphas(betas).astype(np.float32)
     alpha_bars = get_alpha_bars(alphas).astype(np.float32)
 
-    snr = alpha_bars / (1.0 - alpha_bars)
-    if pred_type == "eps":
-        loss_weight = np.ones_like(snr)
-    elif pred_type == "x0":
-        loss_weight = snr
-    else:
+    if pred_type not in ("eps", "x0"):
         raise ValueError(f"Unknown pred_type: {pred_type!r}")
+    snr = alpha_bars / (1.0 - alpha_bars)
+    if weighting == "reference":
+        loss_weight = np.ones_like(snr) if pred_type == "eps" else snr
+    elif weighting == "uniform":
+        loss_weight = np.ones_like(snr)
+    elif weighting.startswith("min_snr:"):
+        gamma = float(weighting.split(":", 1)[1])
+        x0_weight = np.minimum(snr, gamma)
+        loss_weight = x0_weight / snr if pred_type == "eps" else x0_weight
+    else:
+        raise ValueError(
+            f"Unknown weighting: {weighting!r} "
+            "(expected 'reference', 'uniform' or 'min_snr:<gamma>')"
+        )
 
     return DiffusionSchedule(
         num_timesteps=num_timesteps,

@@ -52,6 +52,9 @@ def build_process(config: Dict[str, Any]) -> DDIMProcess:
         num_timesteps=m["num_timesteps"],
         schedule_type=m["beta_schedule_type"],
         pred_type=m["pred_type"],
+        # tpu.loss_weighting: "reference" (default, model.py:204-213),
+        # "uniform", or "min_snr:<gamma>" (see core/schedules.py).
+        weighting=config["tpu"].get("loss_weighting", "reference"),
     )
     return DDIMProcess(
         schedule=schedule,

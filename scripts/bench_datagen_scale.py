@@ -220,8 +220,25 @@ def cmd_train():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from dquartic_tpu.utils.config import generate_train_config
 
-    if DG_MZ % 64:
-        raise SystemExit(f"DG_MZ={DG_MZ} must divide the 7-level stride 64 (use 30016)")
+    # Validate the slice width actually present in the generated parquet
+    # (not the env var: a DG_MZ mismatch at train time would pass an
+    # env-only check and fail later at runtime).
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(f"{ROOT}/slices/*.parquet"))
+    if not files:
+        raise SystemExit(f"no slices under {ROOT}/slices — run the gen stage first")
+    slice_mz = int(_pq.read_table(files[0], columns=["ms2_shape"])["ms2_shape"][0][1].as_py())
+    if slice_mz % 64:
+        raise SystemExit(
+            f"generated slice width {slice_mz} must be divisible by the "
+            f"7-level stride 64 (regenerate with DG_MZ=30016)"
+        )
+    if slice_mz != DG_MZ:
+        print(f"[train] DG_MZ={DG_MZ} != generated slice width {slice_mz}; using {slice_mz}")
+    mz_width = slice_mz
     cfg_path = f"{ROOT}/pqtrain_config.json"
     generate_train_config(cfg_path)
     c = json.load(open(cfg_path))
@@ -239,7 +256,7 @@ def cmd_train():
     )
     # production-shape canonical model + the shipping training recipe
     # (the exact config scripts/bench_fullres.py benches at 375 ms/step)
-    c["model"]["UNet1d"]["downsample_dim"] = DG_MZ
+    c["model"]["UNet1d"]["downsample_dim"] = mz_width
     c["model"]["UNet1d"]["remat_blocks"] = True
     c["wandb"]["use_wandb"] = False
     c["tpu"].update(
@@ -255,6 +272,10 @@ def cmd_train():
 
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dquartic_jax_cache")
+    # The epoch-wall headline times '[Training] Epoch=N' lines as they
+    # arrive on the pipe; the child's stdout must be unbuffered or lines
+    # sit in the 8 KB block buffer and skew the timestamps.
+    env.setdefault("PYTHONUNBUFFERED", "1")
     proc = subprocess.Popen(
         [sys.executable, "-m", "dquartic_tpu.cli", "train", cfg_path],
         stdout=subprocess.PIPE,
@@ -279,7 +300,7 @@ def cmd_train():
     if 1 in epoch_t and 2 in epoch_t and steps:
         e2 = epoch_t[2] - epoch_t[1]
         print(
-            f"PQTRAIN: {steps} steps/epoch at (340, {DG_MZ}); epoch-1 "
+            f"PQTRAIN: {steps} steps/epoch at (340, {mz_width}); epoch-1 "
             f"(incl. compile) {epoch_t[1]:.0f}s; steady-state epoch-2 "
             f"{e2:.1f}s = {1000*e2/steps:.0f} ms/step wall "
             f"(host parquet streaming + prefetch + H2D + train step)",

@@ -6,11 +6,11 @@ The canonical-shape convergence legs (scripts/run_convergence_fullshape
 small-budget plateau: the model reconstructs the mixture posterior and
 barely uses the MS1 condition — the reference itself needed 98k-511k
 steps on real data (BASELINE.md). This experiment answers the converse
-question the round-3 verdict left open: does the SAME stack (canonical
-7-level UNet1d arch, shipping bf16 + fused_resnet + remat + factored
-training config, real 50-step DDIM `process.sample` path) actually
-*deconvolve* — beat the mixture baseline cosine — when the task scale
-matches a minutes-scale budget?
+question: does the SAME stack (canonical 7-level UNet1d arch, shipping
+bf16 + fused_resnet + remat + factored training config, real 50-step
+DDIM `process.sample` path) actually *deconvolve* — steer peak energy
+toward the MS1-conditioned component — when the task scale matches the
+budget?
 
 Task design (what "scaled to its budget" means):
   * m/z width 2560 (the 7-level divisibility contract's smallest
@@ -22,18 +22,47 @@ Task design (what "scaled to its budget" means):
     profile, the signal dquartic conditions on: reference README.md:5);
   * pairs of windows therefore differ in RT occupancy with high
     probability, so the Bayes-optimal deconvolution is approximately
-    "keep the mixture's rows where MY MS1 is active" — learnable at
-    ~10^4 steps instead of ~10^5.
+    "keep the mixture's rows where MY MS1 is active".
 
-Eval: 50-step DDIM deconvolution cosine (data space) on pairs from two
-HELD-OUT windows (never trained) and one training pair, vs the
-cos(mixture, target) baseline; plus the MS1-swap sensitivity of the
-teacher-forced x0-hat (the direct probe that the conditioning pathway is
-used). Success = held-out cos50 > mixture baseline.
+Primary readout: the peak-energy separation metric `sep50` (fraction of
+the 50-step sample's energy on target-only vs interferer-only peak
+cells; 0.5 = mixture-like, 1.0 = perfect — immune to the dense
+background floor that swamps whole-map cosine on ~1%-sparse maps), its
+swapped-conditioning control `sep50_swap` (same mixture, the OTHER
+component's MS1 — must move the opposite way), and the
+`sep_mix_baseline` (the mixture's own separation). Secondary: data-space
+cos50 and the teacher-forced MS1-swap sensitivity.
 
-Env knobs: IDF_ROOT (/tmp/identifiability), IDF_STEPS (24000),
-IDF_BATCH (8), IDF_EVAL_EVERY (3000), IDF_LR (1.5e-4), IDF_WINDOWS (18;
-last 2 held out).
+Env knobs:
+  IDF_ROOT (/tmp/identifiability)  per-leg output dir (ckpt + jsonl)
+  IDF_STEPS (24000)                steps to run THIS invocation
+  IDF_TOTAL (=IDF_STEPS)           LR-cosine horizon in global steps
+                                   (resume legs continue the schedule)
+  IDF_BATCH (8), IDF_EVAL_EVERY (3000), IDF_LR (1.5e-4)
+  IDF_WINDOWS (18; last 2 held out)
+  IDF_RESUME (0)                   1 = resume from IDF_ROOT/state.ckpt
+  IDF_SAVE_EVERY (=IDF_EVAL_EVERY) checkpoint cadence (steps)
+  -- ablation levers (VERDICT r4 next-round #2) --
+  IDF_MS1W (0.0)    model.ms1_loss_weight — the reference's MS1
+                    pseudo-chromatogram consistency loss
+                    (reference model.py:364-404; core/diffusion.py)
+  IDF_PRED (eps)    model.pred_type (reference model.py:204-213)
+  IDF_WEIGHTING (reference)  tpu.loss_weighting: reference | uniform |
+                    min_snr:<gamma> (core/schedules.py). "uniform" with
+                    IDF_PRED=x0 weights every timestep's reconstruction
+                    equally — mass shifts to high-t where only the MS1
+                    condition can identify the target
+  IDF_EMA ()        tpu.ema_decay (e.g. 0.999); when set, every eval
+                    also runs with the EMA params (the predict CLI's
+                    default sampling weights)
+  IDF_OVERFIT (0)   1 = single-pair overfit control: ONE fixed window
+                    pair, trained in BOTH directions (same mixture, two
+                    MS1s -> two targets), so the conditional posterior
+                    is deterministic and conditioning is the only way
+                    to tell the targets apart. If sep50 cannot leave
+                    0.5 here at a few-k steps, something structural is
+                    wrong; if it can, the multi-window plateau is pure
+                    training scale.
 """
 
 import dataclasses
@@ -48,10 +77,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROOT = os.environ.get("IDF_ROOT", "/tmp/identifiability")
 STEPS = int(os.environ.get("IDF_STEPS", "24000"))
+TOTAL = int(os.environ.get("IDF_TOTAL", str(STEPS)))
 BATCH = int(os.environ.get("IDF_BATCH", "8"))
 EVAL_EVERY = int(os.environ.get("IDF_EVAL_EVERY", "3000"))
 BASE_LR = float(os.environ.get("IDF_LR", "1.5e-4"))
 N_WINDOWS = int(os.environ.get("IDF_WINDOWS", "18"))
+SAVE_EVERY = int(os.environ.get("IDF_SAVE_EVERY", str(EVAL_EVERY)))
+MS1W = float(os.environ.get("IDF_MS1W", "0.0"))
+PRED = os.environ.get("IDF_PRED", "eps")
+WEIGHTING = os.environ.get("IDF_WEIGHTING", "reference")
+EMA = os.environ.get("IDF_EMA", "")
+OVERFIT = os.environ.get("IDF_OVERFIT") == "1"
 RT, MZ = 34, 2560
 N_HELD = 2
 
@@ -80,9 +116,11 @@ def make_window(rng, n_pep=4):
 
 
 def main():
+    import flax.serialization as fser
     import jax
     import jax.numpy as jnp
 
+    from dquartic_tpu.train.checkpoint import load_checkpoint, save_checkpoint
     from dquartic_tpu.utils.builder import build_process, build_trainer
     from dquartic_tpu.utils.config import generate_train_config, load_train_config
 
@@ -91,7 +129,7 @@ def main():
     ws, m1s = zip(*(make_window(rng) for _ in range(N_WINDOWS)))
     ms2 = np.stack(ws)
     ms1 = np.stack(m1s)
-    n_train = N_WINDOWS - N_HELD
+    n_train = 2 if OVERFIT else N_WINDOWS - N_HELD
 
     cfg_path = f"{ROOT}/config.json"
     generate_train_config(cfg_path)
@@ -99,12 +137,15 @@ def main():
     config["model"]["UNet1d"]["downsample_dim"] = MZ
     config["model"]["UNet1d"]["remat_blocks"] = True
     config["model"]["batch_size"] = BATCH
+    config["model"]["ms1_loss_weight"] = MS1W
+    config["model"]["pred_type"] = PRED
     config["wandb"]["use_wandb"] = False
     config["tpu"].update(
         compute_dtype="bfloat16",
         optimizer="factored",
         fused_resnet=True,
-        ema_decay=None,
+        ema_decay=float(EMA) if EMA else None,
+        loss_weighting=WEIGHTING,
     )
     json.dump(config, open(cfg_path, "w"), indent=1)
     config = load_train_config(cfg_path)
@@ -118,12 +159,23 @@ def main():
     }
     state = trainer.init_state(example)
     ckpt = f"{ROOT}/state.ckpt"
+    g_start = 0
     if os.environ.get("IDF_RESUME") == "1" and os.path.exists(ckpt):
-        from dquartic_tpu.train.checkpoint import load_checkpoint
-
-        state = jax.tree_util.tree_map(jnp.asarray, load_checkpoint(ckpt)["state"])
-        print(f"resumed from {ckpt}", flush=True)
-    print(f"params: {trainer.num_parameters(state)/1e6:.1f}M  windows: {n_train} train + {N_HELD} held", flush=True)
+        # restore THROUGH the freshly-initialized state as the structure
+        # template (raw msgpack holds plain nested dicts, not a TrainState)
+        template = {"global_step": np.int64(0), "state": jax.device_get(state)}
+        restored = fser.from_state_dict(template, load_checkpoint(ckpt))
+        g_start = int(restored["global_step"])
+        state = jax.tree_util.tree_map(jnp.asarray, restored["state"])
+        print(f"resumed from {ckpt} at global step {g_start}", flush=True)
+    mode = "overfit" if OVERFIT else "heldout"
+    print(
+        f"params: {trainer.num_parameters(state)/1e6:.1f}M  mode={mode} "
+        f"windows: {n_train} train + {0 if OVERFIT else N_HELD} held "
+        f"ms1w={MS1W} pred={PRED} weighting={WEIGHTING} ema={EMA or 'off'} "
+        f"steps {g_start}+{STEPS} of {TOTAL}",
+        flush=True,
+    )
 
     d_ms2 = jax.device_put(jnp.asarray(ms2[:n_train]))
     d_ms1 = jax.device_put(jnp.asarray(ms1[:n_train]))
@@ -131,11 +183,16 @@ def main():
     @jax.jit
     def make_batch(dm2, dm1, key):
         """Pair batch with the dataset's pairwise-minmax semantics
-        (data/dataset.py:345-378), entirely on device."""
-        k1, k2 = jax.random.split(key)
-        i = jax.random.randint(k1, (BATCH,), 0, n_train)
-        j = jax.random.randint(k2, (BATCH,), 0, n_train - 1)
-        j = jnp.where(j >= i, j + 1, j)
+        (data/dataset.py:345-378), entirely on device. Overfit mode uses
+        the one fixed pair in both directions instead of random pairs."""
+        if OVERFIT:
+            i = jnp.tile(jnp.arange(2, dtype=jnp.int32), BATCH // 2 + 1)[:BATCH]
+            j = 1 - i
+        else:
+            k1, k2 = jax.random.split(key)
+            i = jax.random.randint(k1, (BATCH,), 0, n_train)
+            j = jax.random.randint(k2, (BATCH,), 0, n_train - 1)
+            j = jnp.where(j >= i, j + 1, j)
         a2, b2 = dm2[i], dm2[j]
         a1 = dm1[i]
         lo = jnp.minimum(a2.min(axis=(1, 2)), b2.min(axis=(1, 2)))[:, None, None]
@@ -169,6 +226,8 @@ def main():
         tv = jnp.full((1,), t, jnp.int32)
         xt = jnp.sqrt(ab[t]) * target_n + jnp.sqrt(1.0 - ab[t]) * eps
         pred = trainer.model.apply(params, xt, tv, mix_n, m1_n).astype(jnp.float32)
+        if PRED == "x0":
+            return pred
         return (xt - jnp.sqrt(1.0 - ab[t]) * pred) / jnp.sqrt(ab[t])
 
     def cosine(a, b):
@@ -203,15 +262,18 @@ def main():
         )[None]
         return target, other, mix, m1(i), m1(j)
 
-    # held-out pair, reversed held-out pair, one training pair
-    EVAL = [
-        ("held", n_train, n_train + 1),
-        ("held_rev", n_train + 1, n_train),
-        ("train", 0, 1),
-    ]
+    if OVERFIT:
+        EVAL = [("train", 0, 1), ("train_rev", 1, 0)]
+    else:
+        # held-out pair, reversed held-out pair, one training pair
+        EVAL = [
+            ("held", n_train, n_train + 1),
+            ("held_rev", n_train + 1, n_train),
+            ("train", 0, 1),
+        ]
     eval_noise = jax.random.normal(jax.random.PRNGKey(99), (1, RT, MZ), jnp.float32)
 
-    def run_eval(params, step):
+    def eval_params(params, suffix=""):
         recs = []
         for tag, i, j in EVAL:
             target, other, mix, m1i, m1j = _pair(i, j)
@@ -224,7 +286,7 @@ def main():
             swap = float(jnp.mean(jnp.abs(x0i - x0j)) / (jnp.mean(jnp.abs(x0i)) + 1e-12))
             recs.append(
                 {
-                    "pair": tag,
+                    "pair": tag + suffix,
                     "cos50": round(cosine(pred, target), 4),
                     "mix_baseline": round(cosine(mix, target), 4),
                     # the identifiability readout: >0.5 = peaks steered
@@ -237,20 +299,34 @@ def main():
                     "ms1_swap_rel": round(swap, 4),
                 }
             )
+        return recs
+
+    def run_eval(state, step):
+        recs = eval_params(state.params)
+        if state.ema_params is not None:
+            recs += eval_params(state.ema_params, suffix="_ema")
         print(f"[eval @ step {step}] " + json.dumps(recs), flush=True)
         return recs
+
+    def save(state, g_step):
+        t0 = time.time()
+        save_checkpoint(
+            ckpt, {"global_step": np.int64(g_step), "state": jax.device_get(state)}
+        )
+        print(f"saved {ckpt} @ {g_step} ({time.time()-t0:.0f}s)", flush=True)
 
     # ---- loop ------------------------------------------------------------
     logf = open(f"{ROOT}/metrics.jsonl", "a")
     key0 = jax.random.PRNGKey(20260820)
     step_fn = trainer.train_step
     t_start = time.time()
-    logf.write(json.dumps({"step": 0, "evals": run_eval(state.params, 0)}) + "\n")
+    logf.write(json.dumps({"step": g_start, "evals": run_eval(state, g_start)}) + "\n")
     losses = []
-    for step in range(1, STEPS + 1):
+    end = min(g_start + STEPS, TOTAL)
+    for step in range(g_start + 1, end + 1):
         kb, kr = jax.random.split(jax.random.fold_in(key0, step))
         lr = jnp.float32(
-            1e-5 + 0.5 * (BASE_LR - 1e-5) * (1.0 + np.cos(np.pi * step / STEPS))
+            1e-5 + 0.5 * (BASE_LR - 1e-5) * (1.0 + np.cos(np.pi * step / TOTAL))
         )
         state, metrics = step_fn(state, make_batch(d_ms2, d_ms1, kb), lr, kr)
         losses.append(metrics["loss"])
@@ -265,13 +341,12 @@ def main():
             print(json.dumps(rec), flush=True)
             logf.write(json.dumps(rec) + "\n")
             logf.flush()
-        if step % EVAL_EVERY == 0 or step == STEPS:
-            logf.write(json.dumps({"step": step, "evals": run_eval(state.params, step)}) + "\n")
+        if step % EVAL_EVERY == 0 or step == end:
+            logf.write(json.dumps({"step": step, "evals": run_eval(state, step)}) + "\n")
             logf.flush()
-    from dquartic_tpu.train.checkpoint import save_checkpoint
-
-    save_checkpoint(ckpt, {"state": jax.device_get(state)})
-    print(f"done: {STEPS} steps in {time.time()-t_start:.0f}s; state -> {ckpt}", flush=True)
+        if step % SAVE_EVERY == 0 or step == end:
+            save(state, step)
+    print(f"done: steps {g_start}->{end} in {time.time()-t_start:.0f}s", flush=True)
 
 
 if __name__ == "__main__":

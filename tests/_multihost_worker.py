@@ -41,10 +41,19 @@ def main():
     # GetKeyValue rendezvous deadline (measured: flaky DEADLINE_EXCEEDED).
     # Separate dirs keep the processes symmetric — both miss on the first
     # suite run, both hit on warm runs — and cut the test's warm cost.
+    # The dirs are only symmetric if both are equally warm: a previous run
+    # killed between the two processes' cache writes leaves one warm and
+    # one cold, reintroducing the >30 s compile desync. Treat the pair as
+    # a unit — if MY dir exists but the peer's doesn't, drop mine so both
+    # start cold (each process only ever touches its own dir).
+    mine = f"/tmp/dquartic_jax_cache_mh{pid}"
+    peers = [f"/tmp/dquartic_jax_cache_mh{p}" for p in range(num_procs) if p != pid]
+    if os.path.isdir(mine) and not all(os.path.isdir(p) for p in peers):
+        import shutil
+
+        shutil.rmtree(mine, ignore_errors=True)
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir", f"/tmp/dquartic_jax_cache_mh{pid}"
-        )
+        jax.config.update("jax_compilation_cache_dir", mine)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass

@@ -718,3 +718,72 @@ def test_sp_kernel_bf16_close_to_f32():
     scale = float(jnp.max(jnp.abs(out32)))
     err = float(jnp.max(jnp.abs(outbf - np.asarray(out32))))
     assert err < 0.05 * scale, (err, scale)
+
+
+def test_sp_dispatch_and_kernel_at_canonical_width(monkeypatch):
+    """sp at canonical width (VERDICT r4 stretch): (a) trace the full
+    7-level canonical UNet1d at the exact (34, 40000) shape on an sp=2
+    mesh and pin WHICH resolutions engage the split-phase sp kernel —
+    the six even widths 40000..1250, down+up = 12 mixers — while the
+    odd 625-wide pair falls back to XLA (models/attention.py sp
+    dispatch); (b) execute the sp kernel at the full 40000-wide L0
+    shape and match the single-device kernel numerics."""
+    from collections import Counter
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import dquartic_tpu.ops.linear_attention as la
+
+    calls = []
+    real = la.fused_linear_attention_t
+
+    def recording(x, *args, **kw):
+        if kw.get("sp_axis"):
+            calls.append(x.shape[1])
+        return real(x, *args, **kw)
+
+    monkeypatch.setattr(la, "fused_linear_attention_t", recording)
+
+    # the exact canonical architecture (utils/config.py template)
+    model = UNet1d(
+        dim=4, channels=1, dim_mults=(1, 2, 2, 3, 3, 4, 4),
+        conditional=True, init_cond_channels=1, attn_cond_channels=1,
+        tfer_dim_mult=620, downsample_dim=40000, simple=True,
+        linear_attn_impl="pallas_t", activation_sharding=("dp", "sp"),
+    )
+    mesh = make_mesh(dp=1, sp=2, tp=1, devices=jax.devices()[:2])
+    x = jax.ShapeDtypeStruct((1, 34, 40000), jnp.float32)
+    t = jax.ShapeDtypeStruct((1,), jnp.int32)
+    m1 = jax.ShapeDtypeStruct((1, 34), jnp.float32)
+    with jax.set_mesh(mesh):
+        params = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t, x, m1)
+        calls.clear()  # init traces the mixers too; pin the forward only
+        jax.eval_shape(model.apply, params, x, t, x, m1)
+    assert Counter(calls) == Counter(
+        {40000: 2, 20000: 2, 10000: 2, 5000: 2, 2500: 2, 1250: 2}
+    ), sorted(calls)
+
+    # (b) numerics at the L0 width: sp split-phase == single-device kernel
+    C, heads, dim_head = 4, 4, 32
+    H = heads * dim_head
+    rng = np.random.default_rng(11)
+    w_qkv = jnp.asarray(rng.normal(size=(C, 3 * H)).astype(np.float32) * 0.1)
+    w_out = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
+    b_out = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    g_pre = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    xv = jnp.asarray(rng.normal(size=(34, 40000, C)).astype(np.float32))
+
+    def run(xx, sp):
+        return real(
+            xx, w_qkv, w_out, b_out, g, heads, dim_head,
+            g_pre=g_pre, residual=True, sp_axis=sp,
+        )
+
+    out_ref = jax.jit(lambda xx: run(xx, None))(xv)
+    with jax.set_mesh(mesh):
+        xs = jax.device_put(xv, NamedSharding(mesh, P(None, "sp", None)))
+        out_sp = jax.jit(lambda xx: run(xx, "sp"))(xs)
+    np.testing.assert_allclose(
+        np.asarray(out_sp), np.asarray(out_ref), rtol=2e-5, atol=2e-5
+    )

@@ -60,3 +60,25 @@ def test_make_schedule_invalid():
         make_schedule(10, "exp", "eps")
     with pytest.raises(ValueError):
         make_schedule(10, "cosine", "v")
+
+
+def test_make_schedule_weighting_options():
+    """uniform and min_snr:<gamma> weightings (core/schedules.py); the
+    reference rule stays the default (model.py:204-213)."""
+    snr_of = lambda s: s.alpha_bars / (1 - s.alpha_bars)  # noqa: E731
+
+    uni = make_schedule(100, "cosine", "x0", weighting="uniform")
+    np.testing.assert_array_equal(uni.loss_weight, np.ones(100, np.float32))
+
+    m_eps = make_schedule(100, "cosine", "eps", weighting="min_snr:5")
+    np.testing.assert_allclose(
+        m_eps.loss_weight, np.minimum(snr_of(m_eps), 5.0) / snr_of(m_eps), rtol=1e-6
+    )
+    m_x0 = make_schedule(100, "cosine", "x0", weighting="min_snr:5")
+    np.testing.assert_allclose(m_x0.loss_weight, np.minimum(snr_of(m_x0), 5.0), rtol=1e-6)
+    # the cap actually bites at low t and is inactive at high t
+    assert m_x0.loss_weight[0] == np.float32(5.0)
+    assert m_x0.loss_weight[-1] < 1e-6
+
+    with pytest.raises(ValueError, match="weighting"):
+        make_schedule(10, "cosine", "eps", weighting="bogus")

@@ -361,7 +361,7 @@ def test_builder_factored_optimizer(tmp_path):
         build_trainer(config)
 
 
-def test_best_every_n_epochs_gates_best_saves(tmp_path, shared_ct_trainer):
+def test_best_every_n_epochs_gates_best_saves(tmp_path, shared_ct_trainer, monkeypatch):
     """best_every_n_epochs defers best-model writes to a cadence (slow
     host-link platforms); a pending improvement flushes on the cadence
     epoch and at the final epoch."""
@@ -377,7 +377,9 @@ def test_best_every_n_epochs_gates_best_saves(tmp_path, shared_ct_trainer):
         saves.append((os.path.basename(path), epoch))
         return orig(path, epoch, loss, state)
 
-    trainer._save = spy
+    # monkeypatch (not plain assignment) so the module-scoped shared
+    # trainer is restored for later tests regardless of ordering
+    monkeypatch.setattr(trainer, "_save", spy)
 
     rng = np.random.default_rng(0)
     batch = {
