@@ -46,9 +46,12 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _env_flag(name: str) -> bool:
-    """True only for explicit truthy values — BENCH_FULL=0/false disables."""
-    return os.environ.get(name, "").strip().lower() in {"1", "true", "yes", "on"}
+def _env_flag(name: str, default: bool = False) -> bool:
+    """Explicit truthy/falsy values win; unset returns ``default``."""
+    raw = os.environ.get(name, "").strip().lower()
+    if not raw:
+        return default
+    return raw in {"1", "true", "yes", "on"}
 
 
 def _make_batch(b, rt, mz, seed=0):
@@ -127,7 +130,7 @@ def bench_transformer_train():
     }
 
 
-def _canonical_unet(dtype, linear_attn_impl="auto"):
+def _canonical_unet(dtype, linear_attn_impl="auto", mz=40000):
     from dquartic_tpu.models import UNet1d
 
     return UNet1d(
@@ -138,7 +141,7 @@ def _canonical_unet(dtype, linear_attn_impl="auto"):
         init_cond_channels=1,
         attn_cond_channels=1,
         tfer_dim_mult=620,
-        downsample_dim=40000,
+        downsample_dim=mz,
         simple=True,
         dtype=dtype,
         linear_attn_impl=linear_attn_impl,
@@ -147,7 +150,7 @@ def _canonical_unet(dtype, linear_attn_impl="auto"):
 
 def bench_unet_sample(
     num_steps=50, batch=1, linear_attn_impl="auto", tag="", quantize_mid=False,
-    fused_resnet=False,
+    fused_resnet=False, rt=34, mz=40000,
 ):
     import jax
     import jax.numpy as jnp
@@ -155,10 +158,10 @@ def bench_unet_sample(
     from dquartic_tpu.core import DDIMProcess, make_schedule
     from dquartic_tpu.infer import DDIMSampler
 
-    model = _canonical_unet(jnp.bfloat16, linear_attn_impl)
+    model = _canonical_unet(jnp.bfloat16, linear_attn_impl, mz=mz)
     process = DDIMProcess(schedule=make_schedule(1000, "cosine", "eps"))
 
-    b, rt, mz = batch, 34, 40000
+    b = batch
     x = jnp.zeros((b, rt, mz))
     t0 = jnp.zeros((b,), jnp.int32)
     ac = jnp.zeros((b, rt))
@@ -196,14 +199,49 @@ def bench_unet_sample(
     per_window = ms / batch
     desc = f"batch {batch}" + (f", {tag}" if tag else "")
     return {
-        "metric": f"{num_steps}-step DDIM sampling ms per MS2 window (UNet1d canonical, 34x40000, bf16, {desc})",
+        "metric": f"{num_steps}-step DDIM sampling ms per MS2 window (UNet1d canonical, {rt}x{mz}, bf16, {desc})",
         "value": round(per_window, 1),
         "unit": "ms/window",
         "vs_baseline": 1.0,  # no published reference number exists (BASELINE.md)
     }
 
 
-def bench_unet_train(batch_size=1, fused_resnet=False):
+def bench_unet_forward(
+    batch=1, quantize_mid=False, fused_resnet=False, rt=34, mz=40000
+):
+    """Single denoiser forward (the 50-step sampler's unit cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    model = _canonical_unet(jnp.bfloat16, mz=mz)
+    if fused_resnet:
+        model = model.clone(fused_resnet=True)
+    data = _make_batch(batch, rt, mz)
+    x = jnp.asarray(data["ms2_1"])
+    t0 = jnp.zeros((batch,), jnp.int32)
+    ms1 = jnp.asarray(data["ms1_1"])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t0, x, ms1)
+    if quantize_mid:
+        from dquartic_tpu.ops.quantization import quantize_mid_block_params
+
+        model = model.clone(quantize_mid=True)
+        params = jax.jit(quantize_mid_block_params)(params)
+    fwd = jax.jit(model.apply)
+    ms = _time_fn(
+        lambda i: fwd(params, x, t0, x, ms1),
+        warmup=2,
+        iters=int(os.environ.get("BENCH_STEPS", "10")),
+    )
+    cfg = ("int8+" if quantize_mid else "") + ("fused" if fused_resnet else "bf16")
+    return {
+        "metric": f"UNet1d forward ms ({rt}x{mz}, bs{batch}, {cfg})",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": 1.0,
+    }
+
+
+def bench_unet_train(batch_size=1, fused_resnet=False, rt=34, mz=40000):
     import jax
     import jax.numpy as jnp
     import optax
@@ -222,7 +260,7 @@ def bench_unet_train(batch_size=1, fused_resnet=False):
     # in the transposed (C, N) layout, forward AND backward (custom_vjp
     # recomputes from (x, params) — remat-equivalent); remat_blocks still
     # covers the mid blocks.
-    model = _canonical_unet(jnp.bfloat16).clone(
+    model = _canonical_unet(jnp.bfloat16, mz=mz).clone(
         remat_blocks=True, fused_resnet=fused_resnet
     )
     process = DDIMProcess(schedule=make_schedule(1000, "cosine", "eps"))
@@ -231,7 +269,7 @@ def bench_unet_train(batch_size=1, fused_resnet=False):
         optax.scale_by_factored_rms(),
     )
     trainer = Trainer(model, process, optimizer=tx, ema_decay=None, seed=0)
-    batch = _make_batch(batch_size, 34, 40000)
+    batch = _make_batch(batch_size, rt, mz)
     state = trainer.init_state(batch)
     _log(f"unet params: {trainer.num_parameters(state)/1e6:.1f}M")
     dev_batch = jax.tree_util.tree_map(jnp.asarray, batch)
@@ -251,8 +289,8 @@ def bench_unet_train(batch_size=1, fused_resnet=False):
         recipe += "+fused-resnet"
     return {
         "metric": (
-            f"train step ms per sample (UNet1d canonical 1.2B params, "
-            f"34x40000 window, bs{batch_size}, {recipe})"
+            f"train step ms per sample (UNet1d canonical arch, "
+            f"{rt}x{mz} window, bs{batch_size}, {recipe})"
         ),
         "value": round(ms / batch_size, 1),
         "unit": "ms/sample",
@@ -272,11 +310,12 @@ def bench_flagship():
     config. vs_baseline = round-over-round speedup vs the round-2 figure
     (which was bf16, unfused).
 
-    Each 1.2B sub-benchmark costs ~3 min of cold compile on the tunneled
-    platform, so the default run keeps only the two headline figures
-    (shipping sampling + shipping training). BENCH_FULL=1 adds the bf16
-    bs1 and shipping bs8 sampling points (their measured values live in
-    BENCH_NOTES.md round-3 tables)."""
+    BENCH_FULL (default ON; =0 disables) adds the bf16 bs1 and shipping
+    bs8 sampling points plus the production-shape (340, 30016) forward /
+    sample / train legs, so the driver artifact carries the whole matrix
+    measured in one session. Each 1.2B sub-benchmark costs ~3 min of cold
+    compile on the tunneled platform; the persistent compile cache makes
+    repeat runs measurement-only."""
     sample_ship = bench_unet_sample(batch=1, quantize_mid=True, fused_resnet=True)
     # Training uses the shipping training config too: the fused-resnet
     # custom_vjp path (remat-equivalent by construction, grad-parity
@@ -303,13 +342,31 @@ def bench_flagship():
         "round2_sample_ms": ROUND2_SAMPLE_MS,
         "round2_train_ms": ROUND2_TRAIN_MS,
     }
-    if _env_flag("BENCH_FULL"):
+    # Default ON (BENCH_FULL=0 disables): the driver artifact should carry
+    # every leg measured in ONE session (VERDICT r4 weak #5). With a warm
+    # persistent compile cache the extra legs cost <2 min of measurement.
+    if _env_flag("BENCH_FULL", default=True):
         sample_bf16 = bench_unet_sample(batch=1)
         sample_bs8 = bench_unet_sample(batch=8, quantize_mid=True, fused_resnet=True)
         extra.update(
             sample_ms_bf16_bs1=sample_bf16["value"],
             sample_bf16_vs_round2=round(ROUND2_SAMPLE_MS / sample_bf16["value"], 2),
             sample_ms_per_window_bs8=sample_bs8["value"],
+        )
+        # Production shape (340, 30016) — the reference data-gen window
+        # (run_data_gen.sh:8-14, padded to the 7-level stride) — measured
+        # in the same session as the canonical-shape legs (VERDICT r4
+        # weak #5: no mixed-session README rows). Same shipping configs
+        # as scripts/bench_fullres.py.
+        prod = dict(rt=340, mz=30016)
+        fwd_prod = bench_unet_forward(quantize_mid=True, fused_resnet=True, **prod)
+        sample_prod = bench_unet_sample(quantize_mid=True, fused_resnet=True, **prod)
+        train_prod = bench_unet_train(fused_resnet=True, **prod)
+        extra.update(
+            prod_shape="340x30016",
+            prod_fwd_ms_int8_fused_bs1=fwd_prod["value"],
+            prod_sample_ms_per_window_bs1=sample_prod["value"],
+            prod_train_ms_per_sample_bs1=train_prod["value"],
         )
     return {
         "metric": sample_ship["metric"],
@@ -322,6 +379,10 @@ def bench_flagship():
 
 MODES = {
     "flagship": bench_flagship,
+    "unet_forward": bench_unet_forward,
+    "unet_forward_prod": lambda: bench_unet_forward(
+        quantize_mid=True, fused_resnet=True, rt=340, mz=30016
+    ),
     "unet_sample_int8": lambda: bench_unet_sample(quantize_mid=True),
     "unet_sample_fused": lambda: bench_unet_sample(quantize_mid=True, fused_resnet=True),
     "unet_sample_fused_batched": lambda: bench_unet_sample(batch=8, quantize_mid=True, fused_resnet=True),

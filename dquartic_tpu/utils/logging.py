@@ -33,11 +33,17 @@ class JsonlLogger(NoOpLogger):
     enabled = True
 
     def __init__(self, log_dir: str = ".", run_name: Optional[str] = None):
-        os.makedirs(log_dir, exist_ok=True)
+        self._log_dir = log_dir
         self.path = os.path.join(log_dir, "metrics.jsonl")
-        self._f = open(self.path, "a", buffering=1)
+        self._f = None  # opened lazily: no empty file if nothing is logged
         self.run_name = run_name
         self._t0 = time.time()
+
+    def _file(self):
+        if self._f is None:
+            os.makedirs(self._log_dir, exist_ok=True)
+            self._f = open(self.path, "a", buffering=1)
+        return self._f
 
     def log(self, metrics: Dict[str, Any], commit: bool = True) -> None:
         rec = {"_time": round(time.time() - self._t0, 3)}
@@ -48,13 +54,16 @@ class JsonlLogger(NoOpLogger):
                 rec[k] = float(v)
             except (TypeError, ValueError):
                 rec[k] = v
-        self._f.write(json.dumps(rec) + "\n")
+        self._file().write(json.dumps(rec) + "\n")
 
     def log_table(self, name: str, columns, rows) -> None:
-        self._f.write(json.dumps({"_table": name, "columns": list(columns), "rows": rows}) + "\n")
+        self._file().write(
+            json.dumps({"_table": name, "columns": list(columns), "rows": rows}) + "\n"
+        )
 
     def finish(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
 
 
 class WandbLogger(NoOpLogger):
