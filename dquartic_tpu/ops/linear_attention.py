@@ -336,9 +336,11 @@ def _prenorm(x, gpre, channels):
 def _kernel_ab_t(
     x_ref, wq_ref, wk_ref, wv_ref, woutT_ref, bout_ref, g_ref, gpre_ref,
     kshift_ref, qshift_ref, o_ref,
-    m_ref, s_ref, acc_ref, cw_ref,
+    m_ref, s_ref, acc_ref, cw_ref, kp_ref=None, xp_ref=None, qp_ref=None,
+    xrp_ref=None,
     *, block_n: int, seq_len: int, heads: int, dim_head: int, channels: int,
     prenorm: bool = False, residual: bool = False, static_shift: bool = False,
+    pipeline: bool = False,
 ):
     """Transposed two-phase kernel. All tiles are (rows, block_n) with the
     sequence on the lane axis, so VMEM tiles and HBM<->VMEM DMAs are
@@ -375,10 +377,24 @@ def _kernel_ab_t(
     1.55 ms L0 call (scripts/bench_linattn_ablate.py). A -76 clamp keeps
     pathological weight norms (bound loose by > ~76 nats) degrading to
     uniform-ish attention instead of denormal garbage.
+
+    ``pipeline`` (static_shift only): 2-stage software pipeline. The
+    serial chain per block is MXU(k-dot) -> VPU(exp2/sums) -> MXU(A-dot);
+    the VPU work sits between two MXU dots it feeds, so the units cannot
+    overlap. Pipelined, grid step j stashes this block's PRE-activation
+    k_j (and x_j) in VMEM scratch and processes the PREVIOUS block's
+    stashed k_{j-1} -> exp2 -> A-dot: the VPU exp2 of block j-1 has no
+    dependency on the MXU k-dot of block j issued in the same step, so
+    Mosaic can overlap the units (per-step cost ~ max(kdot, exp) + Adot
+    instead of kdot + exp + Adot). Phase 1 pipelines identically (stash
+    q_j, emit y_{j-1}; the out index map shifts by one). One extra drain
+    grid step per (row, phase) completes the last block. Deferral is
+    exact only because static_shift has no running-max rescale (alpha ==
+    1, accumulation is commutative); the builder enforces that.
     """
     phase = pl.program_id(1)
     j = pl.program_id(2)
-    num_blocks = pl.num_programs(2)
+    num_blocks = pl.num_programs(2) - (1 if pipeline else 0)
     H = heads * dim_head
     # The MXU runs bf16 x bf16 -> f32 at twice the f32 x f32 rate; when the
     # model computes in bf16, the big (H, block_n) dot operands are cast to
@@ -394,6 +410,100 @@ def _kernel_ab_t(
 
     x_raw = x_ref[0].astype(jnp.float32)  # (C, block_n)
     x = _prenorm(x_raw, gpre_ref[...], channels) if prenorm else x_raw
+
+    def _phase0_epilogue():
+        mask = _head_mask(heads, dim_head)
+        ctx = jax.lax.dot_general(
+            acc_ref[...], wv_ref[...].astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, H), one tile pass per row
+        ctx = ctx * mask / jnp.maximum(s_ref[...], 1e-30)
+        # Fold w_out into the context: M[c, d] = sum_e woutT[c, e] ctx[d, e].
+        cw_ref[...] = jax.lax.dot_general(
+            woutT_ref[...].astype(jnp.float32), ctx,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def _emit(qv, xraw_v):
+        """Phase-1 tail for a (H, block_n) pre-activation q: per-head
+        softmax slabs -> folded context dot -> bias -> RMSNorm ->
+        optional residual -> store."""
+        if static_shift:
+            eq = jnp.exp2(qv - qshift_ref[...])  # wq pre-scaled by log2(e)
+        else:
+            gmax = jnp.max(qv, axis=0, keepdims=True)  # (1, block_n)
+            eq = jnp.exp(qv - gmax)
+        slabs = []
+        for h in range(heads):
+            slab = eq[h * dim_head : (h + 1) * dim_head]
+            ssum = jnp.sum(slab, axis=0, keepdims=True)  # (1, block_n)
+            slabs.append(slab * (1.0 / jnp.maximum(ssum, 1e-30)))
+        qn = jnp.concatenate(slabs, axis=0) * (dim_head**-0.5)
+        # y[c, n] = sum_d M[c, d] qn[d, n] with the folded M = woutT ctx^T
+        y = jnp.dot(cw_ref[...].astype(cd), qn.astype(cd),
+                    preferred_element_type=jnp.float32)  # (C, block_n)
+        y = y + bout_ref[...]
+        norm = jnp.sqrt(jnp.sum(jnp.square(y), axis=0, keepdims=True))
+        y = y / jnp.maximum(norm, 1e-12) * g_ref[...] * (channels**0.5)
+        if residual:
+            y = y + xraw_v
+        o_ref[0] = y.astype(o_ref.dtype)
+
+    if pipeline:
+        # Stash-and-drain: grid step j projects block j (MXU) and finishes
+        # block j-1 (VPU exp2/sums + the dependent MXU dot) — the reads of
+        # the previous block's scratch happen before the stash writes.
+        k_prev = kp_ref[...]
+        x_prev = xp_ref[...]
+        q_prev = qp_ref[...]
+        xraw_prev = xrp_ref[...]
+
+        @pl.when(phase == 0)
+        def _():
+            @pl.when(j < num_blocks)
+            def _():
+                k = jnp.dot(
+                    wk_ref[...].astype(jnp.float32), x,
+                    preferred_element_type=jnp.float32,
+                )
+                kp_ref[...] = k
+                xp_ref[...] = x.astype(xp_ref.dtype)
+
+            @pl.when(j > 0)
+            def _():
+                col = (j - 1) * block_n + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, block_n), 1
+                )
+                p = jnp.exp2(k_prev - kshift_ref[...])
+                p = jnp.where(col < seq_len, p, 0.0)
+                s_ref[...] += jnp.sum(p, axis=1, keepdims=True)
+                acc_ref[...] += jax.lax.dot_general(
+                    p.astype(cd), x_prev.astype(cd), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+                @pl.when(j == num_blocks)
+                def _():
+                    _phase0_epilogue()
+
+        @pl.when(phase == 1)
+        def _():
+            @pl.when(j < num_blocks)
+            def _():
+                q = jnp.dot(
+                    wq_ref[...].astype(jnp.float32), x,
+                    preferred_element_type=jnp.float32,
+                )
+                qp_ref[...] = q
+                xrp_ref[...] = x_raw.astype(xrp_ref.dtype)
+
+            @pl.when(j > 0)
+            def _():
+                _emit(q_prev, xraw_prev.astype(jnp.float32))
+
+        return
 
     @pl.when(phase == 0)
     def _():
@@ -436,28 +546,16 @@ def _kernel_ab_t(
 
         @pl.when(j == num_blocks - 1)
         def _():
-            mask = _head_mask(heads, dim_head)
-            ctx = jax.lax.dot_general(
-                acc_ref[...], wv_ref[...].astype(jnp.float32),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (H, H), one tile pass per row
-            ctx = ctx * mask / jnp.maximum(s_ref[...], 1e-30)
-            # Fold w_out into the context: M[c, d] = sum_e woutT[c, e] ctx[d, e].
-            # Phase 1 then needs ONE (C, H) @ (H, bn) dot instead of the
-            # (H, H) @ (H, bn) context dot followed by the (C, H) output
-            # projection — at C <= 16 that removes 1 of every 6 MXU tile
-            # passes per block (the 'out' dot costs the same H/128 * bn/128
-            # passes as the whole context accumulation).
-            cw_ref[...] = jax.lax.dot_general(
-                woutT_ref[...].astype(jnp.float32), ctx,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            # Folding w_out into the context (see _phase0_epilogue): phase 1
+            # then needs ONE (C, H) @ (H, bn) dot instead of the (H, H) @
+            # (H, bn) context dot followed by the (C, H) output projection —
+            # at C <= 16 that removes 1 of every 6 MXU tile passes per block
+            # (the 'out' dot costs the same H/128 * bn/128 passes as the
+            # whole context accumulation).
+            _phase0_epilogue()
 
     @pl.when(phase == 1)
     def _():
-        q = jnp.dot(wq_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
         # per-head softmax over the d rows of each head: subtract a shift
         # constant over each head segment, then normalize each head's 2-D
         # sublane slab by its own column sum — exact f32, no (H, H)
@@ -465,27 +563,9 @@ def _kernel_ab_t(
         # native VPU ops). With static_shift the shift is the precomputed
         # per-head weight-norm bound (constant within a head, so still a
         # valid softmax shift) instead of the column-global max — no
-        # sublane max-reduction in the stream.
-        if static_shift:
-            eq = jnp.exp2(q - qshift_ref[...])  # wq pre-scaled by log2(e)
-        else:
-            gmax = jnp.max(q, axis=0, keepdims=True)  # (1, block_n)
-            eq = jnp.exp(q - gmax)
-        slabs = []
-        for h in range(heads):
-            slab = eq[h * dim_head : (h + 1) * dim_head]
-            ssum = jnp.sum(slab, axis=0, keepdims=True)  # (1, block_n)
-            slabs.append(slab * (1.0 / jnp.maximum(ssum, 1e-30)))
-        qn = jnp.concatenate(slabs, axis=0) * (dim_head**-0.5)
-        # y[c, n] = sum_d M[c, d] qn[d, n] with the folded M = woutT ctx^T
-        y = jnp.dot(cw_ref[...].astype(cd), qn.astype(cd),
-                    preferred_element_type=jnp.float32)  # (C, block_n)
-        y = y + bout_ref[...]
-        norm = jnp.sqrt(jnp.sum(jnp.square(y), axis=0, keepdims=True))
-        y = y / jnp.maximum(norm, 1e-12) * g_ref[...] * (channels**0.5)
-        if residual:
-            y = y + x_raw
-        o_ref[0] = y.astype(o_ref.dtype)
+        # sublane max-reduction in the stream. (_emit.)
+        q = jnp.dot(wq_ref[...].astype(jnp.float32), x, preferred_element_type=jnp.float32)
+        _emit(q, x_raw)
 
 
 def _static_shifts(wq, wk, gp2, heads, channels):
@@ -506,9 +586,21 @@ def _static_shifts(wq, wk, gp2, heads, channels):
     return kshift, qshift
 
 
+def _pipeline_default() -> bool:
+    """Env-controlled default for the 2-stage kernel pipeline
+    (DQUARTIC_LINATTN_PIPELINE=0 disables). Numerics are identical either
+    way (same dots, same order); this is purely an MXU/VPU overlap
+    scheduling choice, measured in scripts/bench_linattn_pipeline.py."""
+    import os
+
+    return os.environ.get("DQUARTIC_LINATTN_PIPELINE", "1").strip().lower() not in {
+        "0", "false", "off", "no",
+    }
+
+
 def _fused_forward_single_t(
     x, w_qkv, w_out, b_out, g, heads, dim_head, block_n, interpret,
-    g_pre=None, residual=False,
+    g_pre=None, residual=False, pipeline=None,
 ):
     """x: (B, N, C) — transposed internally; returns (B, N, C)."""
     B, N, C = x.shape
@@ -521,6 +613,11 @@ def _fused_forward_single_t(
     xt = jnp.swapaxes(x, 1, 2)  # (B, C, N): dense, lane-efficient
     xt = jnp.pad(xt, ((0, 0), (0, 0), (0, np_ - N)))
     num_blocks = np_ // block_n
+    if pipeline is None:
+        pipeline = _pipeline_default()
+    # pipeline needs static_shift (prenorm) for exact deferral, and >= 2
+    # blocks for anything to overlap (at 1 block it only adds a drain step)
+    pipeline = bool(pipeline) and g_pre is not None and num_blocks >= 2
 
     wq = w_qkv[:, :H].T  # (H, C)
     wk = w_qkv[:, H : 2 * H].T
@@ -549,17 +646,36 @@ def _fused_forward_single_t(
         _kernel_ab_t, block_n=block_n, seq_len=N, heads=heads,
         dim_head=dim_head, channels=C,
         prenorm=prenorm, residual=residual, static_shift=prenorm,
+        pipeline=pipeline,
     )
     # Phase 0 never writes the output: its block index is pinned to 0 so
     # no per-block zero-fill + HBM store happens there; the one garbage
     # flush of block 0 at the phase transition is overwritten by the
-    # phase-1 visit of the same block.
+    # phase-1 visit of the same block. Pipelined, phase 1's store lags one
+    # block behind the grid index (the j-1 shift in the out map) and each
+    # phase gets one extra drain step.
+    cd_store = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    if pipeline:
+        grid = (B, 2, num_blocks + 1)
+        x_map = lambda i, p, j: (i, 0, jnp.minimum(j, num_blocks - 1))  # noqa: E731
+        out_map = lambda i, p, j: (i, 0, p * jnp.maximum(j - 1, 0))  # noqa: E731
+        pipe_scratch = [
+            _scratch_vmem((H, block_n), jnp.float32),  # k_prev
+            _scratch_vmem((C, block_n), cd_store),  # x_prev (post-prenorm)
+            _scratch_vmem((H, block_n), jnp.float32),  # q_prev
+            _scratch_vmem((C, block_n), x.dtype),  # x_raw_prev (residual)
+        ]
+    else:
+        grid = (B, 2, num_blocks)
+        x_map = lambda i, p, j: (i, 0, j)  # noqa: E731
+        out_map = lambda i, p, j: (i, 0, j * p)  # noqa: E731
+        pipe_scratch = []
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, C, np_), x.dtype),
-        grid=(B, 2, num_blocks),
+        grid=grid,
         in_specs=[
-            _vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j)),
+            _vmem_spec((1, C, block_n), x_map),
             _vmem_spec((H, C), lambda i, p, j: (0, 0)),
             _vmem_spec((H, C), lambda i, p, j: (0, 0)),
             _vmem_spec((H, C), lambda i, p, j: (0, 0)),
@@ -570,13 +686,14 @@ def _fused_forward_single_t(
             _vmem_spec((H, 1), lambda i, p, j: (0, 0)),
             _vmem_spec((H, 1), lambda i, p, j: (0, 0)),
         ],
-        out_specs=_vmem_spec((1, C, block_n), lambda i, p, j: (i, 0, j * p)),
+        out_specs=_vmem_spec((1, C, block_n), out_map),
         scratch_shapes=[
             _scratch_vmem((H, 1), jnp.float32),
             _scratch_vmem((H, 1), jnp.float32),
             _scratch_vmem((H, C), jnp.float32),
             _scratch_vmem((C, H), jnp.float32),
-        ],
+        ]
+        + pipe_scratch,
         interpret=interpret,
     )(xt, wq, wk, wv, woutT, b2, g2, gp2, kshift, qshift)
     return jnp.swapaxes(y[:, :, :N], 1, 2)

@@ -63,6 +63,16 @@ Env knobs:
                     0.5 here at a few-k steps, something structural is
                     wrong; if it can, the multi-window plateau is pure
                     training scale.
+  IDF_INFINITE (0)  1 = fresh synthetic windows EVERY batch, generated
+                    on-device inside the jitted batch fn (same
+                    generative family as make_window). Closes the
+                    memorization loophole the r5 16-window run exposed:
+                    with a fixed window set the model learns
+                    window-specific (MS1 -> target) associations (train
+                    sep50 splits, held-out does not); with unlimited
+                    windows the only strategy that reduces the loss is
+                    the general rule "keep the mixture's rows where MY
+                    MS1 is active" — held-out sep50 is the readout.
 """
 
 import dataclasses
@@ -88,6 +98,7 @@ PRED = os.environ.get("IDF_PRED", "eps")
 WEIGHTING = os.environ.get("IDF_WEIGHTING", "reference")
 EMA = os.environ.get("IDF_EMA", "")
 OVERFIT = os.environ.get("IDF_OVERFIT") == "1"
+INFINITE = os.environ.get("IDF_INFINITE") == "1"
 RT, MZ = 34, 2560
 N_HELD = 2
 
@@ -168,7 +179,7 @@ def main():
         g_start = int(restored["global_step"])
         state = jax.tree_util.tree_map(jnp.asarray, restored["state"])
         print(f"resumed from {ckpt} at global step {g_start}", flush=True)
-    mode = "overfit" if OVERFIT else "heldout"
+    mode = "overfit" if OVERFIT else ("infinite" if INFINITE else "heldout")
     print(
         f"params: {trainer.num_parameters(state)/1e6:.1f}M  mode={mode} "
         f"windows: {n_train} train + {0 if OVERFIT else N_HELD} held "
@@ -179,6 +190,33 @@ def main():
 
     d_ms2 = jax.device_put(jnp.asarray(ms2[:n_train]))
     d_ms1 = jax.device_put(jnp.asarray(ms1[:n_train]))
+
+    def make_windows_jax(key, n, n_pep=4):
+        """On-device analogue of make_window: fresh (n, RT, MZ) MS2 maps
+        with their exact summed-profile MS1 traces, entirely inside jit
+        (the IDF_INFINITE data stream — no fixed window set to memorize)."""
+        kc, ks, kn, kp, ki, ka = jax.random.split(key, 6)
+        t = jnp.arange(RT, dtype=jnp.float32)
+        c = jax.random.uniform(kc, (n, n_pep), minval=3.0, maxval=RT - 3.0)
+        s = jax.random.uniform(ks, (n, n_pep), minval=1.2, maxval=2.5)
+        prof = jnp.exp(
+            -0.5 * ((t[None, None, :] - c[..., None]) / s[..., None]) ** 2
+        )  # (n, p, RT)
+        MAXF = 12
+        nf = jax.random.randint(kn, (n, n_pep), 5, 12)
+        pos = jax.random.randint(kp, (n, n_pep, MAXF), 20, MZ - 20)
+        inten = jnp.exp(0.8 * jax.random.normal(ki, (n, n_pep, MAXF)))
+        inten = inten * (jnp.arange(MAXF)[None, None, :] < nf[..., None])
+        rows = jnp.arange(n * n_pep)[:, None]
+        posf = pos.reshape(n * n_pep, MAXF)
+        intf = inten.reshape(n * n_pep, MAXF)
+        spec = jnp.zeros((n * n_pep, MZ), jnp.float32)
+        for off, w in zip(range(-2, 3), (0.1, 0.5, 1.0, 0.5, 0.1)):
+            spec = spec.at[rows, posf + off].add(w * intf)
+        spec = spec.reshape(n, n_pep, MZ)
+        amp = jnp.exp(0.4 * jax.random.normal(ka, (n, n_pep)))
+        aprof = amp[..., None] * prof
+        return jnp.einsum("npr,npm->nrm", aprof, spec), jnp.sum(aprof, axis=1)
 
     @jax.jit
     def make_batch(dm2, dm1, key):
@@ -205,6 +243,26 @@ def main():
             "ms1_1": (a1 - l1) / s1,
             "ms2_2": (b2 - lo) / s,
             "ms1_2": (dm1[j] - l1) / s1,  # reference scales ms1_2 off split 1
+        }
+
+    @jax.jit
+    def make_batch_inf(key):
+        """IDF_INFINITE: a fresh window pair per batch element, same
+        pairwise-minmax semantics — the generator runs on device, so the
+        data stream costs no host traffic."""
+        W, M = make_windows_jax(key, 2 * BATCH)
+        a2, b2 = W[:BATCH], W[BATCH:]
+        a1 = M[:BATCH]
+        lo = jnp.minimum(a2.min(axis=(1, 2)), b2.min(axis=(1, 2)))[:, None, None]
+        hi = jnp.maximum(a2.max(axis=(1, 2)), b2.max(axis=(1, 2)))[:, None, None]
+        s = jnp.maximum(hi - lo, 1e-12)
+        l1 = a1.min(axis=1, keepdims=True)
+        s1 = jnp.maximum(a1.max(axis=1, keepdims=True) - l1, 1e-12)
+        return {
+            "ms2_1": (a2 - lo) / s,
+            "ms1_1": (a1 - l1) / s1,
+            "ms2_2": (b2 - lo) / s,
+            "ms1_2": (M[BATCH:] - l1) / s1,
         }
 
     # ---- eval ------------------------------------------------------------
@@ -328,7 +386,8 @@ def main():
         lr = jnp.float32(
             1e-5 + 0.5 * (BASE_LR - 1e-5) * (1.0 + np.cos(np.pi * step / TOTAL))
         )
-        state, metrics = step_fn(state, make_batch(d_ms2, d_ms1, kb), lr, kr)
+        batch = make_batch_inf(kb) if INFINITE else make_batch(d_ms2, d_ms1, kb)
+        state, metrics = step_fn(state, batch, lr, kr)
         losses.append(metrics["loss"])
         if step % 500 == 0:
             vals = [float(x) for x in jax.device_get(losses)]

@@ -174,6 +174,39 @@ def test_fused_prenorm_residual_forward(N, C):
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), rtol=3e-4, atol=3e-5)
 
 
+@pytest.mark.parametrize("N,C,block_n", [(1100, 4, 512), (2048, 16, 512), (1500, 8, 1024)])
+def test_pipelined_kernel_exact_vs_plain(N, C, block_n):
+    """The 2-stage software pipeline (stash k/q pre-activations, drain one
+    block behind) computes the same dots in the same order as the plain
+    static-shift kernel — outputs must agree EXACTLY, and both must match
+    the XLA oracle. Covers padded tails (N % block_n != 0) and the
+    phase-1 out-map shift."""
+    from dquartic_tpu.ops.linear_attention import (
+        _fused_forward_single_t,
+        linear_attention_nr_reference,
+    )
+
+    heads, dim_head = 4, 32
+    w_qkv, w_out, b_out, g = make_weights(C, heads, dim_head, seed=21)
+    g_pre = jnp.asarray(np.random.default_rng(22).normal(size=(C,)).astype(np.float32))
+    x = jnp.asarray(np.random.default_rng(23).normal(size=(2, N, C)).astype(np.float32))
+    y_plain = _fused_forward_single_t(
+        x, w_qkv, w_out, b_out, g, heads, dim_head, block_n, None,
+        g_pre=g_pre, residual=True, pipeline=False,
+    )
+    y_pipe = _fused_forward_single_t(
+        x, w_qkv, w_out, b_out, g, heads, dim_head, block_n, None,
+        g_pre=g_pre, residual=True, pipeline=True,
+    )
+    np.testing.assert_array_equal(np.asarray(y_plain), np.asarray(y_pipe))
+    out_ref = linear_attention_nr_reference(
+        x, w_qkv, w_out, b_out, g, g_pre, heads, dim_head
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_pipe), np.asarray(out_ref), rtol=3e-4, atol=3e-5
+    )
+
+
 @pytest.mark.parametrize("N", [256, 700])
 def test_fused_prenorm_residual_gradients(N, monkeypatch):
     """Kernel backward of the prenorm+residual variant vs jax.vjp of the
