@@ -16,6 +16,11 @@ Numerical agreement pipe-vs-plain is asserted on-device before timing.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site JAX_CACHE_DIR=/tmp/dquartic_jax_cache \
   python scripts/bench_linattn_pipeline.py
+
+AOT=1 compiles every program into the persistent cache WITHOUT running
+anything on device (axon compiles take ~60 s each x 28 programs; the
+precompile can overlap other device work, then the timed run hits the
+cache and starts measuring immediately).
 """
 
 import os
@@ -52,14 +57,19 @@ def main():
     rng = np.random.default_rng(0)
     chain = int(os.environ.get("CHAIN", "4"))
     reps = int(os.environ.get("REPS", "30"))
+    aot = os.environ.get("AOT") == "1"
 
-    def timeit(fn, *args):
+    def make_chained(fn):
         @jax.jit
         def chained(x, *rest):
             for _ in range(chain):
                 x = fn(x, *rest).astype(x.dtype)
             return x
 
+        return chained
+
+    def timeit(fn, *args):
+        chained = make_chained(fn)
         out = chained(*args)
         float(jnp.sum(out.astype(jnp.float32)))
         t0 = time.perf_counter()
@@ -84,6 +94,22 @@ def main():
                 g_pre=g_pre, residual=True, pipeline=pipeline,
             )
 
+        if aot:
+            # populate the persistent compile cache only — no device data,
+            # no execution (safe to overlap a training run on the chip)
+            xs = jax.ShapeDtypeStruct(x.shape, x.dtype)
+            for pipe in (False, True):
+                for prog in (jax.jit(lambda x, p=pipe: run(x, p)),
+                             make_chained(lambda x, p=pipe: run(x, p))):
+                    t0 = time.perf_counter()
+                    prog.lower(xs).compile()
+                    print(
+                        f"aot ({N}, {C}) pipe={pipe} "
+                        f"{time.perf_counter()-t0:.0f}s",
+                        flush=True,
+                    )
+            continue
+
         # on-device numerical agreement before timing
         print(f"compiling ({N}, {C})...", file=sys.stderr, flush=True)
         y0 = jax.jit(lambda x: run(x, False))(x)
@@ -103,6 +129,9 @@ def main():
             f"{ms[False] / ms[True]:.3f}x   (maxdiff {d:.2e})",
             flush=True,
         )
+    if aot:
+        print("aot precompile done (no timing)")
+        return
     print(
         f"{'family sum':>14} | {MULTIPLICITY * totals[False]:9.3f} | "
         f"{MULTIPLICITY * totals[True]:9.3f} | "

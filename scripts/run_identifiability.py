@@ -40,6 +40,7 @@ Env knobs:
                                    (resume legs continue the schedule)
   IDF_BATCH (8), IDF_EVAL_EVERY (3000), IDF_LR (1.5e-4)
   IDF_WINDOWS (18; last 2 held out)
+  IDF_MZ (2560)                    m/z width (40000 = canonical shape)
   IDF_RESUME (0)                   1 = resume from IDF_ROOT/state.ckpt
   IDF_SAVE_EVERY (=IDF_EVAL_EVERY) checkpoint cadence (steps)
   -- ablation levers (VERDICT r4 next-round #2) --
@@ -99,7 +100,9 @@ WEIGHTING = os.environ.get("IDF_WEIGHTING", "reference")
 EMA = os.environ.get("IDF_EMA", "")
 OVERFIT = os.environ.get("IDF_OVERFIT") == "1"
 INFINITE = os.environ.get("IDF_INFINITE") == "1"
-RT, MZ = 34, 2560
+# IDF_MZ: m/z width (default 2560 = the smallest realistic 7-level
+# width; 40000 runs the task at the exact canonical shape)
+RT, MZ = 34, int(os.environ.get("IDF_MZ", "2560"))
 N_HELD = 2
 
 
