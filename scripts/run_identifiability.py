@@ -369,19 +369,34 @@ def main():
         print(f"[eval @ step {step}] " + json.dumps(recs), flush=True)
         return recs
 
-    def save(state, g_step):
+    def save(state, g_step, path=None):
         t0 = time.time()
+        path = path or ckpt
         save_checkpoint(
-            ckpt, {"global_step": np.int64(g_step), "state": jax.device_get(state)}
+            path, {"global_step": np.int64(g_step), "state": jax.device_get(state)}
         )
-        print(f"saved {ckpt} @ {g_step} ({time.time()-t0:.0f}s)", flush=True)
+        print(f"saved {path} @ {g_step} ({time.time()-t0:.0f}s)", flush=True)
 
     # ---- loop ------------------------------------------------------------
     logf = open(f"{ROOT}/metrics.jsonl", "a")
     key0 = jax.random.PRNGKey(20260820)
     step_fn = trainer.train_step
     t_start = time.time()
-    logf.write(json.dumps({"step": g_start, "evals": run_eval(state, g_start)}) + "\n")
+    best_split = -1.0
+
+    def track_best(recs, step, state):
+        # keep the best-separating params in a SEPARATE file: the r5 hot
+        # LR-restart collapse showed the conditioned solution can be lost
+        # mid-run, and the rolling state.ckpt then overwrites it
+        nonlocal best_split
+        split = recs[0]["sep50"] - recs[0]["sep50_swap"]
+        if split > best_split:
+            best_split = split
+            save(state, step, path=f"{ROOT}/state_best.ckpt")
+
+    recs0 = run_eval(state, g_start)
+    track_best(recs0, g_start, state)
+    logf.write(json.dumps({"step": g_start, "evals": recs0}) + "\n")
     losses = []
     end = min(g_start + STEPS, TOTAL)
     for step in range(g_start + 1, end + 1):
@@ -404,7 +419,9 @@ def main():
             logf.write(json.dumps(rec) + "\n")
             logf.flush()
         if step % EVAL_EVERY == 0 or step == end:
-            logf.write(json.dumps({"step": step, "evals": run_eval(state, step)}) + "\n")
+            recs = run_eval(state, step)
+            track_best(recs, step, state)
+            logf.write(json.dumps({"step": step, "evals": recs}) + "\n")
             logf.flush()
         if step % SAVE_EVERY == 0 or step == end:
             save(state, step)
