@@ -39,6 +39,14 @@ TPU_DEFAULTS: Dict[str, Any] = {
     # Adafactor-style factored second moment — the single-chip memory
     # recipe for the canonical 1.2B UNet1d; see train/optim.py).
     "optimizer": "adamw",
+    # Per-timestep loss weighting: "reference" (model.py:204-213 parity),
+    # "uniform", or "min_snr:<gamma>" (core/schedules.py). For
+    # deconvolution training prefer model.pred_type="x0" +
+    # loss_weighting="uniform": under the reference default the gradient
+    # that teaches MS1-conditioning is scaled by sqrt(SNR(t)) and
+    # vanishes at the high-noise steps where only the condition
+    # identifies the target (measured: BENCH_NOTES.md round 5).
+    "loss_weighting": "reference",
     # Inference-time int8 mid-block convs (Pallas dequant-in-VMEM kernel,
     # ops/int8_matmul.py): halves the dominant weight stream of the
     # canonical UNet1d forward. Used by `predict`; training is unaffected.
