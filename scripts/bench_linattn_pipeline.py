@@ -36,9 +36,13 @@ ROWS = 34
 # down levels 0-6, and the up path revisits the same shapes (skip concat
 # doubles C at the block input but the mixer runs at the level's dim) —
 # so each distinct shape is measured once and counted twice in the
-# family sum.
+# family sum. PIPEBENCH_LEVELS selects a subset (comma list of level
+# indices) — e.g. "1,2,3" when a shape's compile is pathological on the
+# tunneled platform and its effect is measured in-model instead.
 DIMS = (4, 8, 8, 12, 12, 16, 16)
-LEVELS = [(40000 >> l, DIMS[l]) for l in range(7)]
+_SEL = os.environ.get("PIPEBENCH_LEVELS", "")
+_IDX = [int(s) for s in _SEL.split(",") if s.strip()] if _SEL else list(range(7))
+LEVELS = [(40000 >> l, DIMS[l]) for l in _IDX]
 MULTIPLICITY = 2
 
 
