@@ -588,12 +588,17 @@ def _static_shifts(wq, wk, gp2, heads, channels):
 
 def _pipeline_default() -> bool:
     """Env-controlled default for the 2-stage kernel pipeline
-    (DQUARTIC_LINATTN_PIPELINE=0 disables). Numerics are identical either
+    (DQUARTIC_LINATTN_PIPELINE=1 enables). Numerics are identical either
     way (same dots, same order); this is purely an MXU/VPU overlap
-    scheduling choice, measured in scripts/bench_linattn_pipeline.py."""
+    scheduling choice. Default OFF: measured on the real v5e chip
+    (scripts/bench_linattn_pipeline.py, CHAIN=10), the pipelined variant
+    is a ~1.7x REGRESSION (L0 1.24 -> 2.14 ms, L1 0.68 -> 1.17 ms) —
+    Mosaic already overlaps the units across grid steps, and the VMEM
+    scratch stash + extra drain step only add traffic. Kept as an opt-in
+    for platforms where the compiler does not pipeline grid cells."""
     import os
 
-    return os.environ.get("DQUARTIC_LINATTN_PIPELINE", "1").strip().lower() not in {
+    return os.environ.get("DQUARTIC_LINATTN_PIPELINE", "0").strip().lower() not in {
         "0", "false", "off", "no",
     }
 
