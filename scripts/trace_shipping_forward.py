@@ -1,9 +1,13 @@
 """Time + trace the shipping inference forward (pallas_t + int8 mid +
-fused transposed-resident resnet) at the canonical (34, 40000) shape.
+fused transposed-resident resnet). Default canonical (34, 40000);
+TRACE_RT / TRACE_MZ select other windows (production: 340 x 30016).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site JAX_CACHE_DIR=/tmp/dquartic_jax_cache \
   python scripts/trace_shipping_forward.py [batch] [--trace DIR]
+Per-phase table: python scripts/parse_xplane.py DIR --families 5
 """
+
+import os
 
 import sys
 import time
@@ -24,7 +28,8 @@ def main():
     trace_dir = None
     if "--trace" in sys.argv:
         trace_dir = sys.argv[sys.argv.index("--trace") + 1]
-    rt, mz = 34, 40000
+    rt = int(os.environ.get("TRACE_RT", "34"))
+    mz = int(os.environ.get("TRACE_MZ", "40000"))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(b, rt, mz)).astype(np.float32))
     t = jnp.zeros((b,), jnp.int32)
@@ -34,10 +39,10 @@ def main():
     m = UNet1d(
         dim=4, channels=1, dim_mults=(1, 2, 2, 3, 3, 4, 4), conditional=True,
         init_cond_channels=1, attn_cond_channels=1, tfer_dim_mult=620,
-        downsample_dim=40000, simple=True, dtype=jnp.bfloat16,
+        downsample_dim=mz, simple=True, dtype=jnp.bfloat16,
         linear_attn_impl="pallas_t", fused_resnet=True, quantize_mid=True,
     )
-    params = m.clone(quantize_mid=False, fused_resnet=False).init(
+    params = jax.jit(m.clone(quantize_mid=False, fused_resnet=False).init)(
         jax.random.PRNGKey(0), x, t, ms2, ms1
     )
     params = jax.jit(quantize_mid_block_params)(params)
