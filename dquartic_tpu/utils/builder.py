@@ -35,6 +35,9 @@ def build_model(config: Dict[str, Any]):
         unknown = set(u) - valid
         if unknown:
             raise ValueError(f"Unknown UNet1d config keys: {sorted(unknown)}")
+        u.setdefault(
+            "linear_attn_impl", config["tpu"].get("linear_attn_impl", "auto")
+        )
         return UNet1d(**u, dtype=dtype, attn_impl=attn_impl)
     if m["use_model"] == "CustomTransformer":
         c = dict(m["CustomTransformer"])

@@ -18,6 +18,13 @@ TPU_DEFAULTS: Dict[str, Any] = {
     "compute_dtype": "float32",
     "ema_decay": 0.999,
     "attn_impl": "auto",
+    # Linear-attention mixer impl: "auto" (measured per-level crossover),
+    # "pallas_t" (the transposed kernel everywhere it fits) or "xla".
+    # On directly-attached TPUs at production windows (rt>=340), set
+    # "pallas_t" explicitly: the auto heuristic leaves mid-width levels
+    # on XLA, which traced ~20% slower at (340, 30016) (BENCH_NOTES.md
+    # round-5 roofline, production shape).
+    "linear_attn_impl": "auto",
     "checkpoint_backend": "msgpack",
     "checkpoint_every_n_epochs": 1,
     # Minimum epoch gap between best-model writes (1 = the reference's
